@@ -1,0 +1,233 @@
+"""GraphWeatherForecaster: the Keisler-2022 global forecast model, TPU-native.
+
+Capability-equivalent of the reference GraphWeatherForecaster (reference
+models/forecast.py:61-247): takes `lat_lons` at construction, builds all
+graphs internally (host-side, vectorized), and maps [B, N, feature+aux]
+states to [B, N, output] next states via hex-mesh encode -> 9 rounds of
+message passing -> decode with an input residual.
+
+JAX API: `model.init(rng)` returns a parameter pytree; `model.apply(params,
+features)` runs the forward. `model.forward_fn()` returns a pure jittable
+function for composition with jit / grad / scan / pjit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_weather_tpu.meshes.graphs import (
+    build_grid_to_mesh_graph,
+    build_latent_graph,
+    build_mesh_to_grid_graph,
+)
+from graph_weather_tpu.meshes.hexmesh import get_hexmesh
+from graph_weather_tpu.models.layers import Decoder, Encoder, Processor
+from graph_weather_tpu.nn.graph_blocks import DeviceGraph
+from graph_weather_tpu.utils import validate_lat_lons
+
+
+class ForecasterModule(nn.Module):
+    """Pure flax encode-process-decode module; graphs passed as arguments."""
+
+    feature_dim: int
+    input_dim: int
+    output_dim: int
+    node_dim: int = 256
+    edge_dim: int = 256
+    num_blocks: int = 9
+    hidden_dim_processor_node: int = 256
+    hidden_dim_processor_edge: int = 256
+    hidden_layers_processor_node: int = 2
+    hidden_layers_processor_edge: int = 2
+    hidden_dim_decoder: int = 128
+    hidden_layers_decoder: int = 2
+    norm_type: Optional[str] = "LayerNorm"
+    n_mesh: int = 5882
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        features: jnp.ndarray,  # [B, N_grid, feature_dim + aux_dim]
+        g2m: DeviceGraph,
+        latent: DeviceGraph,
+        m2g: DeviceGraph,
+    ) -> jnp.ndarray:
+        x_mesh, latent_edge_feats = Encoder(
+            input_dim=self.input_dim,
+            node_dim=self.node_dim,
+            edge_dim=self.edge_dim,
+            hidden_dim_processor_node=self.hidden_dim_processor_node,
+            hidden_dim_processor_edge=self.hidden_dim_processor_edge,
+            hidden_layers_processor_node=self.hidden_layers_processor_node,
+            hidden_layers_processor_edge=self.hidden_layers_processor_edge,
+            norm_type=self.norm_type,
+            n_mesh=self.n_mesh,
+        )(features, g2m, latent)
+        x_mesh = Processor(
+            node_dim=self.node_dim,
+            edge_dim=self.edge_dim,
+            num_blocks=self.num_blocks,
+            hidden_dim_processor_node=self.hidden_dim_processor_node,
+            hidden_dim_processor_edge=self.hidden_dim_processor_edge,
+            hidden_layers_processor_node=self.hidden_layers_processor_node,
+            hidden_layers_processor_edge=self.hidden_layers_processor_edge,
+            norm_type=self.norm_type,
+            remat=self.remat,
+        )(x_mesh, latent_edge_feats, latent)
+        out = Decoder(
+            output_dim=self.output_dim,
+            node_dim=self.node_dim,
+            edge_dim=self.edge_dim,
+            hidden_dim_processor_node=self.hidden_dim_processor_node,
+            hidden_dim_processor_edge=self.hidden_dim_processor_edge,
+            hidden_layers_processor_node=self.hidden_layers_processor_node,
+            hidden_layers_processor_edge=self.hidden_layers_processor_edge,
+            norm_type=self.norm_type,
+            hidden_dim_decoder=self.hidden_dim_decoder,
+            hidden_layers_decoder=self.hidden_layers_decoder,
+        )(x_mesh, m2g)
+        # Residual: predict the tendency, add the current state
+        # (reference models/layers/decoder.py:92-94).
+        return out + features[..., : self.output_dim]
+
+
+@dataclass
+class GraphWeatherForecasterConfig:
+    """Configuration mirroring reference models/forecast.py:14-58."""
+
+    lat_lons: list
+    resolution: int = 2
+    feature_dim: int = 78
+    aux_dim: int = 24
+    output_dim: Optional[int] = None
+    node_dim: int = 256
+    edge_dim: int = 256
+    num_blocks: int = 9
+    hidden_dim_processor_node: int = 256
+    hidden_dim_processor_edge: int = 256
+    hidden_layers_processor_node: int = 2
+    hidden_layers_processor_edge: int = 2
+    hidden_dim_decoder: int = 128
+    hidden_layers_decoder: int = 2
+    norm_type: str = "LayerNorm"
+    use_checkpointing: bool = False
+
+    def build(self) -> "GraphWeatherForecaster":
+        return GraphWeatherForecaster(
+            lat_lons=self.lat_lons,
+            resolution=self.resolution,
+            feature_dim=self.feature_dim,
+            aux_dim=self.aux_dim,
+            output_dim=self.output_dim,
+            node_dim=self.node_dim,
+            edge_dim=self.edge_dim,
+            num_blocks=self.num_blocks,
+            hidden_dim_processor_node=self.hidden_dim_processor_node,
+            hidden_dim_processor_edge=self.hidden_dim_processor_edge,
+            hidden_layers_processor_node=self.hidden_layers_processor_node,
+            hidden_layers_processor_edge=self.hidden_layers_processor_edge,
+            hidden_dim_decoder=self.hidden_dim_decoder,
+            hidden_layers_decoder=self.hidden_layers_decoder,
+            norm_type=self.norm_type,
+            use_checkpointing=self.use_checkpointing,
+        )
+
+
+class GraphWeatherForecaster:
+    """Forecast model handle: owns the static graphs and the flax module."""
+
+    def __init__(
+        self,
+        lat_lons: list,
+        resolution: int = 2,
+        feature_dim: int = 78,
+        aux_dim: int = 24,
+        output_dim: Optional[int] = None,
+        node_dim: int = 256,
+        edge_dim: int = 256,
+        num_blocks: int = 9,
+        hidden_dim_processor_node: int = 256,
+        hidden_dim_processor_edge: int = 256,
+        hidden_layers_processor_node: int = 2,
+        hidden_layers_processor_edge: int = 2,
+        hidden_dim_decoder: int = 128,
+        hidden_layers_decoder: int = 2,
+        norm_type: str = "LayerNorm",
+        use_checkpointing: bool = False,
+    ):
+        validate_lat_lons(lat_lons)
+        self.lat_lons = list(lat_lons)
+        self.feature_dim = feature_dim
+        self.aux_dim = aux_dim
+        self.output_dim = feature_dim if output_dim is None else output_dim
+
+        mesh = get_hexmesh(resolution)
+        self.mesh = mesh
+        ll = np.asarray(self.lat_lons, dtype=np.float64)
+        self.g2m = DeviceGraph.from_bundle(build_grid_to_mesh_graph(ll, mesh))
+        self.latent = DeviceGraph.from_bundle(build_latent_graph(mesh))
+        self.m2g = DeviceGraph.from_bundle(build_mesh_to_grid_graph(ll, mesh))
+
+        self.module = ForecasterModule(
+            feature_dim=feature_dim,
+            input_dim=feature_dim + aux_dim,
+            output_dim=self.output_dim,
+            node_dim=node_dim,
+            edge_dim=edge_dim,
+            num_blocks=num_blocks,
+            hidden_dim_processor_node=hidden_dim_processor_node,
+            hidden_dim_processor_edge=hidden_dim_processor_edge,
+            hidden_layers_processor_node=hidden_layers_processor_node,
+            hidden_layers_processor_edge=hidden_layers_processor_edge,
+            hidden_dim_decoder=hidden_dim_decoder,
+            hidden_layers_decoder=hidden_layers_decoder,
+            norm_type=norm_type,
+            n_mesh=mesh.num_cells,
+            remat=use_checkpointing,
+        )
+        self._jit_apply = None
+        self._jit_init = None
+
+    @property
+    def num_grid_nodes(self) -> int:
+        return len(self.lat_lons)
+
+    def init(self, rng: jax.Array, batch_size: int = 1):
+        """Initialize parameters (jitted: one compile instead of 200 eager ops)."""
+        if self._jit_init is None:
+            self._jit_init = jax.jit(
+                lambda rng, dummy: self.module.init(
+                    rng, dummy, self.g2m, self.latent, self.m2g
+                )
+            )
+        dummy = jnp.zeros(
+            (batch_size, self.num_grid_nodes, self.feature_dim + self.aux_dim),
+            dtype=jnp.float32,
+        )
+        return self._jit_init(rng, dummy)
+
+    def apply(self, params, features: jnp.ndarray) -> jnp.ndarray:
+        """Jitted forward pass: [B, N, feature+aux] -> [B, N, output]."""
+        if self._jit_apply is None:
+            self._jit_apply = jax.jit(self.forward_fn())
+        return self._jit_apply(params, features)
+
+    def forward_fn(self):
+        """A pure (params, features) -> prediction function for jit/grad."""
+        g2m, latent, m2g = self.g2m, self.latent, self.m2g
+        module = self.module
+
+        def fn(params, features):
+            return module.apply(params, features, g2m, latent, m2g)
+
+        return fn
+
+    def __call__(self, params, features: jnp.ndarray) -> jnp.ndarray:
+        return self.apply(params, features)

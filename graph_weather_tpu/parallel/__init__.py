@@ -1,0 +1,17 @@
+"""Device-mesh parallelism: DP batch sharding + FSDP-style param sharding.
+
+The reference delegates all distribution to Lightning DDP / DeepSpeed over
+NCCL (reference models/gencast/train.py:286-296, train/deepspeed_graph.py:
+103-107). Here parallelism is first-class JAX: a `jax.sharding.Mesh` with
+("data", "model") axes, batch sharded over "data", parameters sharded over
+"model" (ZeRO-3 analogue), and XLA GSPMD inserting the ICI collectives.
+"""
+
+from graph_weather_tpu.parallel.sharding import (
+    make_mesh,
+    shard_batch,
+    shard_params_fsdp,
+    sharding_for_tree,
+)
+
+__all__ = ["make_mesh", "shard_batch", "shard_params_fsdp", "sharding_for_tree"]

@@ -1,0 +1,149 @@
+"""GraphWeatherForecaster shape / NaN / gradient tests.
+
+Mirrors the reference's unit-test strategy (reference tests/test_model.py:
+shape asserts, NaN checks, end-to-end forward+loss+backward).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_weather_tpu import (
+    GraphWeatherForecaster,
+    GraphWeatherForecasterConfig,
+    NormalizedMSELoss,
+)
+
+
+def _grid(spacing=10):
+    return [
+        (float(lat), float(lon))
+        for lat in range(-90, 90, spacing)
+        for lon in range(0, 360, spacing)
+    ]
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    lat_lons = _grid(15)
+    model = GraphWeatherForecaster(
+        lat_lons, feature_dim=8, aux_dim=4, node_dim=32, edge_dim=32,
+        num_blocks=2, hidden_dim_processor_node=32, hidden_dim_processor_edge=32,
+        hidden_dim_decoder=16,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params, lat_lons
+
+
+def test_forward_shape_and_finite(small_model):
+    model, params, lat_lons = small_model
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, len(lat_lons), 12))
+    out = model.apply(params, feats)
+    assert out.shape == (2, len(lat_lons), 8)
+    assert jnp.all(jnp.isfinite(out))
+
+
+def test_output_dim_subset(small_model):
+    _, _, lat_lons = small_model
+    model = GraphWeatherForecaster(
+        lat_lons, feature_dim=8, aux_dim=4, output_dim=4, node_dim=16,
+        edge_dim=16, num_blocks=1, hidden_dim_processor_node=16,
+        hidden_dim_processor_edge=16, hidden_dim_decoder=8,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, len(lat_lons), 12))
+    out = model.apply(params, feats)
+    assert out.shape == (1, len(lat_lons), 4)
+
+
+def test_config_build():
+    lat_lons = _grid(30)
+    cfg = GraphWeatherForecasterConfig(
+        lat_lons=lat_lons, feature_dim=4, aux_dim=2, node_dim=16, edge_dim=16,
+        num_blocks=1, hidden_dim_processor_node=16, hidden_dim_processor_edge=16,
+        hidden_dim_decoder=8,
+    )
+    model = cfg.build()
+    params = model.init(jax.random.PRNGKey(0))
+    feats = jnp.zeros((1, len(lat_lons), 6))
+    out = model.apply(params, feats)
+    assert out.shape == (1, len(lat_lons), 4)
+
+
+def test_loss_and_gradients(small_model):
+    model, params, lat_lons = small_model
+    loss_fn_obj = NormalizedMSELoss(
+        feature_variance=np.ones(8), lat_lons=lat_lons, normalize=True
+    )
+    feats = jax.random.normal(jax.random.PRNGKey(2), (2, len(lat_lons), 12))
+    target = jax.random.normal(jax.random.PRNGKey(3), (2, len(lat_lons), 8))
+
+    def loss_fn(p):
+        return loss_fn_obj(model.apply(p, feats), target)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert jnp.isfinite(loss)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(jnp.all(jnp.isfinite(g)) for g in leaves)
+    # At least some gradient must be nonzero.
+    assert any(jnp.any(g != 0) for g in leaves)
+
+
+def test_remat_equivalence(small_model):
+    """Checkpointed (remat) forward must equal the plain forward.
+
+    Mirror of reference tests/models/test_gradient_checkpointing.py:120-205.
+    """
+    _, _, lat_lons = small_model
+    kwargs = dict(
+        feature_dim=4, aux_dim=2, node_dim=16, edge_dim=16, num_blocks=2,
+        hidden_dim_processor_node=16, hidden_dim_processor_edge=16,
+        hidden_dim_decoder=8,
+    )
+    m_plain = GraphWeatherForecaster(lat_lons, **kwargs)
+    m_remat = GraphWeatherForecaster(lat_lons, use_checkpointing=True, **kwargs)
+    params = m_plain.init(jax.random.PRNGKey(0))
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, len(lat_lons), 6))
+    out_plain = m_plain.apply(params, feats)
+    out_remat = m_remat.apply(params, feats)
+    np.testing.assert_allclose(out_plain, out_remat, atol=1e-6)
+
+    def loss_plain(p):
+        return jnp.sum(m_plain.apply(p, feats) ** 2)
+
+    def loss_remat(p):
+        return jnp.sum(m_remat.apply(p, feats) ** 2)
+
+    g1 = jax.grad(loss_plain)(params)
+    g2 = jax.grad(loss_remat)(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5), g1, g2
+    )
+
+
+def test_normalized_mse_analytic_value():
+    """When per-node error is exactly 1, loss == mean cos-lat weight.
+
+    Mirror of reference tests/test_model.py:236-271.
+    """
+    lat_lons = _grid(30)
+    loss_fn = NormalizedMSELoss(
+        feature_variance=np.ones(4), lat_lons=lat_lons, normalize=True
+    )
+    pred = jnp.ones((1, len(lat_lons), 4))
+    target = jnp.zeros((1, len(lat_lons), 4))
+    loss = loss_fn(pred, target)
+    unique_lats = sorted(set(lat for lat, _ in lat_lons))
+    expected = np.mean(np.cos(np.deg2rad(unique_lats)))
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-6)
+
+
+def test_batch_consistency(small_model):
+    """Batched forward equals per-sample forwards (vmap-free check)."""
+    model, params, lat_lons = small_model
+    feats = jax.random.normal(jax.random.PRNGKey(4), (3, len(lat_lons), 12))
+    batched = model.apply(params, feats)
+    for i in range(3):
+        single = model.apply(params, feats[i : i + 1])
+        np.testing.assert_allclose(batched[i], single[0], atol=2e-5)
