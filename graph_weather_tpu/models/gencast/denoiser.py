@@ -1,0 +1,301 @@
+"""GenCast Denoiser: Karras-preconditioned encode-process-decode diffusion.
+
+Equivalent of reference models/gencast/denoiser.py:25-390:
+    D(Z, X, sigma) = c_skip(sigma) Z + c_out(sigma) f_theta(c_in(sigma) Z,
+                                                            X, c_noise(sigma))
+with f_theta = Encoder(g2m) -> noise-conditioned transformer Processor on
+the k-hop mesh -> Decoder(m2g). Inputs follow the reference layout
+[B, lon, lat, F]; internally data is reordered to the graph's lat-major
+node order. (The reference flattens data lon-major against lat-major graph
+features — a silent permutation bug we deliberately do not replicate.)
+
+The public Denoiser handle is jit-cached; `forward_fn()` exposes the pure
+function for grad/scan composition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_weather_tpu.models.gencast.graphs import build_graphcast_graphs
+from graph_weather_tpu.models.gencast.layers import (
+    GenCastDecoder,
+    GenCastEncoder,
+    GenCastProcessor,
+)
+from graph_weather_tpu.nn.graph_blocks import DeviceGraph
+
+
+class Preconditioner:
+    """Karras (2022) Table-1 preconditioning (sigma_data = 1 for GenCast).
+
+    Reference models/gencast/utils/noise.py:76-105.
+    """
+
+    def __init__(self, sigma_data: float = 1.0):
+        self.sigma_data = sigma_data
+
+    def c_skip(self, sigma):
+        return self.sigma_data**2 / (sigma**2 + self.sigma_data**2)
+
+    def c_out(self, sigma):
+        return sigma * self.sigma_data / jnp.sqrt(sigma**2 + self.sigma_data**2)
+
+    def c_in(self, sigma):
+        return 1.0 / jnp.sqrt(sigma**2 + self.sigma_data**2)
+
+    def c_noise(self, sigma):
+        return 0.25 * jnp.log(sigma)
+
+
+class DenoiserModule(nn.Module):
+    """Pure flax f_theta + preconditioning over [B, N, F] node data."""
+
+    output_features_dim: int
+    hidden_dims: tuple[int, ...] = (512, 512)
+    num_blocks: int = 16
+    num_heads: int = 4
+    use_edge_features: bool = True
+    scale_factor: float = 1.0
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        corrupted_targets: jnp.ndarray,  # [B, N_grid, F_out]
+        prev_inputs: jnp.ndarray,  # [B, N_grid, 2 F_in]
+        noise_levels: jnp.ndarray,  # [B, 1]
+        grid_node_feats: jnp.ndarray,  # [N_grid, 3]
+        mesh_node_feats: jnp.ndarray,  # [N_mesh, 3]
+        g2m: DeviceGraph,
+        khop: DeviceGraph,
+        m2g: DeviceGraph,
+    ) -> jnp.ndarray:
+        precs = Preconditioner(sigma_data=1.0)
+        batch = corrupted_targets.shape[0]
+
+        scaled_targets = precs.c_in(noise_levels)[:, :, None] * corrupted_targets
+        scaled_noise = precs.c_noise(noise_levels)
+
+        grid_feats = jnp.concatenate(
+            [
+                scaled_targets,
+                prev_inputs,
+                jnp.broadcast_to(
+                    grid_node_feats, (batch,) + grid_node_feats.shape
+                ),
+            ],
+            axis=-1,
+        )
+
+        latent_grid, latent_mesh = GenCastEncoder(
+            hidden_dims=self.hidden_dims,
+            scale_factor=self.scale_factor,
+        )(grid_feats, mesh_node_feats, g2m)
+
+        latent_mesh = GenCastProcessor(
+            latent_dim=self.hidden_dims[-1],
+            hidden_dims=self.hidden_dims,
+            num_blocks=self.num_blocks,
+            num_heads=self.num_heads,
+            use_edge_features=self.use_edge_features,
+            remat=self.remat,
+        )(latent_mesh, scaled_noise, khop)
+
+        preds = GenCastDecoder(
+            output_dim=self.output_features_dim,
+            hidden_dims=self.hidden_dims,
+        )(latent_mesh, latent_grid, m2g)
+
+        return (
+            precs.c_skip(noise_levels)[:, :, None] * corrupted_targets
+            + precs.c_out(noise_levels)[:, :, None] * preds
+        )
+
+
+@dataclass
+class DenoiserConfig:
+    """Mirrors reference models/gencast/denoiser.py:25-63."""
+
+    grid_lon: np.ndarray
+    grid_lat: np.ndarray
+    input_features_dim: int
+    output_features_dim: int
+    hidden_dims: tuple = (512, 512)
+    num_blocks: int = 16
+    num_heads: int = 4
+    splits: int = 6
+    num_hops: int = 6
+    use_edges_features: bool = True
+    scale_factor: float = 1.0
+    remat: bool = False
+
+    def build(self) -> "Denoiser":
+        return Denoiser(
+            grid_lon=self.grid_lon,
+            grid_lat=self.grid_lat,
+            input_features_dim=self.input_features_dim,
+            output_features_dim=self.output_features_dim,
+            hidden_dims=tuple(self.hidden_dims),
+            num_blocks=self.num_blocks,
+            num_heads=self.num_heads,
+            splits=self.splits,
+            num_hops=self.num_hops,
+            use_edges_features=self.use_edges_features,
+            scale_factor=self.scale_factor,
+            remat=self.remat,
+        )
+
+
+class Denoiser:
+    """GenCast denoiser handle: builds graphs, owns the flax module.
+
+    Public tensors use the reference layout [B, lon, lat, F].
+    """
+
+    def __init__(
+        self,
+        grid_lon: np.ndarray,
+        grid_lat: np.ndarray,
+        input_features_dim: int,
+        output_features_dim: int,
+        hidden_dims: tuple[int, ...] = (512, 512),
+        num_blocks: int = 16,
+        num_heads: int = 4,
+        splits: int = 6,
+        num_hops: int = 6,
+        use_edges_features: bool = True,
+        scale_factor: float = 1.0,
+        remat: bool = False,
+    ):
+        self.num_lon = len(grid_lon)
+        self.num_lat = len(grid_lat)
+        self.input_features_dim = input_features_dim
+        self.output_features_dim = output_features_dim
+
+        graphs = build_graphcast_graphs(
+            grid_lon,
+            grid_lat,
+            splits=splits,
+            num_hops=num_hops,
+            add_edge_features_to_khop=use_edges_features,
+        )
+        self.graphs = graphs
+        self.g2m = DeviceGraph.from_bundle(graphs.g2m)
+        self.khop = DeviceGraph.from_bundle(graphs.khop)
+        self.m2g = DeviceGraph.from_bundle(graphs.m2g)
+        self.grid_node_feats = jnp.asarray(graphs.grid_node_feats)
+        self.mesh_node_feats = jnp.asarray(graphs.mesh_node_feats)
+
+        self.module = DenoiserModule(
+            output_features_dim=output_features_dim,
+            hidden_dims=tuple(hidden_dims),
+            num_blocks=num_blocks,
+            num_heads=num_heads,
+            use_edge_features=use_edges_features,
+            scale_factor=scale_factor,
+            remat=remat,
+        )
+        self._jit_apply = None
+        self._jit_init = None
+
+    # -- layout helpers: [B, lon, lat, F] <-> lat-major node order ---------
+    def _to_nodes(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, lon, lat, f = x.shape
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, lat * lon, f)
+
+    def _from_nodes(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, n, f = x.shape
+        return jnp.transpose(
+            x.reshape(b, self.num_lat, self.num_lon, f), (0, 2, 1, 3)
+        )
+
+    def init(self, rng: jax.Array, batch_size: int = 1):
+        if self._jit_init is None:
+            self._jit_init = jax.jit(
+                lambda rng, t, p, s: self.module.init(
+                    rng,
+                    t,
+                    p,
+                    s,
+                    self.grid_node_feats,
+                    self.mesh_node_feats,
+                    self.g2m,
+                    self.khop,
+                    self.m2g,
+                )
+            )
+        n = self.num_lon * self.num_lat
+        targets = jnp.zeros((batch_size, n, self.output_features_dim))
+        prev = jnp.zeros((batch_size, n, 2 * self.input_features_dim))
+        noise = jnp.ones((batch_size, 1))
+        return self._jit_init(rng, targets, prev, noise)
+
+    def forward_fn(self):
+        module = self.module
+        consts = (
+            self.grid_node_feats,
+            self.mesh_node_feats,
+            self.g2m,
+            self.khop,
+            self.m2g,
+        )
+        to_nodes, from_nodes = self._to_nodes, self._from_nodes
+        check = self._check_shapes
+
+        def fn(params, corrupted_targets, prev_inputs, noise_levels):
+            check(corrupted_targets, prev_inputs, noise_levels)
+            out = module.apply(
+                params,
+                to_nodes(corrupted_targets),
+                to_nodes(prev_inputs),
+                noise_levels,
+                *consts,
+            )
+            return from_nodes(out)
+
+        return fn
+
+    def _check_shapes(self, corrupted_targets, prev_inputs, noise_levels):
+        """Static shape validation (reference denoiser.py:170-187) and, when
+        the noise levels are concrete (outside jit), the positivity check
+        (reference denoiser.py:314-315) — sigma <= 0 makes c_noise = log(sigma)
+        NaN silently otherwise."""
+        batch = prev_inputs.shape[0]
+        exp_inputs = (batch, self.num_lon, self.num_lat, 2 * self.input_features_dim)
+        exp_targets = (batch, self.num_lon, self.num_lat, self.output_features_dim)
+        exp_noise = (batch, 1)
+        if (
+            tuple(corrupted_targets.shape) != exp_targets
+            or tuple(prev_inputs.shape) != exp_inputs
+            or tuple(noise_levels.shape) != exp_noise
+        ):
+            raise ValueError(
+                "Input shapes don't match the initialization parameters: expected "
+                f"{exp_inputs} for prev_inputs, {exp_targets} for targets and "
+                f"{exp_noise} for noise_levels; got {tuple(prev_inputs.shape)}, "
+                f"{tuple(corrupted_targets.shape)}, {tuple(noise_levels.shape)}."
+            )
+        if not isinstance(noise_levels, jax.core.Tracer):
+            if not bool(jnp.all(noise_levels > 0)):
+                raise ValueError("All the noise levels must be strictly positive.")
+
+    def apply(self, params, corrupted_targets, prev_inputs, noise_levels):
+        """[B, lon, lat, F_out], [B, lon, lat, 2 F_in], [B, 1] -> denoised."""
+        # Concrete-value check must happen before entering jit (inside the
+        # trace noise_levels is a tracer and sigma <= 0 would silently NaN).
+        if not isinstance(noise_levels, jax.core.Tracer):
+            if not bool(jnp.all(jnp.asarray(noise_levels) > 0)):
+                raise ValueError("All the noise levels must be strictly positive.")
+        if self._jit_apply is None:
+            self._jit_apply = jax.jit(self.forward_fn())
+        return self._jit_apply(params, corrupted_targets, prev_inputs, noise_levels)
+
+    def __call__(self, params, corrupted_targets, prev_inputs, noise_levels):
+        return self.apply(params, corrupted_targets, prev_inputs, noise_levels)

@@ -1,0 +1,214 @@
+"""GenCast tests: graphs, attention equivalence, denoiser, sampler, loss.
+
+Mirrors the reference test strategy (tests/test_gencast.py): k-hop
+equivalence, shape/NaN checks on denoiser and sampler, plus a dense-masked
+attention equivalence test for the segment-softmax graph transformer (the
+analogue of PyG TransformerConv parity).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from graph_weather_tpu.meshes.graphs import GraphBundle
+from graph_weather_tpu.models.gencast import (
+    Denoiser,
+    DenoiserConfig,
+    Sampler,
+    WeightedMSELoss,
+    build_graphcast_graphs,
+    sample_noise_level,
+)
+from graph_weather_tpu.models.gencast.graphs import khop_edges
+from graph_weather_tpu.models.gencast.modules import GraphTransformerConv
+from graph_weather_tpu.nn.graph_blocks import DeviceGraph
+
+NLAT, NLON = 16, 32
+
+
+def _grids():
+    return np.arange(0, 360, 360 / NLON), np.linspace(-90, 90, NLAT)
+
+
+@pytest.fixture(scope="module")
+def graphs():
+    grid_lon, grid_lat = _grids()
+    return build_graphcast_graphs(grid_lon, grid_lat, splits=2, num_hops=2)
+
+
+@pytest.fixture(scope="module")
+def denoiser_and_params():
+    grid_lon, grid_lat = _grids()
+    den = Denoiser(
+        grid_lon, grid_lat, input_features_dim=3, output_features_dim=2,
+        hidden_dims=(16, 16), num_blocks=3, num_heads=4, splits=2, num_hops=2,
+    )
+    params = den.init(jax.random.PRNGKey(0))
+    return den, params
+
+
+class TestGraphs:
+    def test_m2g_three_edges_per_point(self, graphs):
+        counts = np.bincount(graphs.m2g.receivers)
+        assert np.all(counts == 3)
+
+    def test_g2m_covers_all_mesh_nodes(self, graphs):
+        assert len(np.unique(graphs.g2m.receivers)) == graphs.g2m.n_receivers
+
+    def test_edge_features_dim_and_range(self, graphs):
+        for g in (graphs.g2m, graphs.mesh, graphs.m2g):
+            assert g.edge_attr.shape[1] == 4
+            assert np.all(np.abs(g.edge_attr) <= 1.0 + 1e-6)
+        assert graphs.grid_node_feats.shape[1] == 3
+
+    def test_khop_equals_sparse_power(self, graphs):
+        """Mirror of reference tests/test_gencast.py:50-67 (TwoHop parity)."""
+        s, r = graphs.mesh.senders, graphs.mesh.receivers
+        n = graphs.mesh.n_senders
+        ks, kr = khop_edges(s, r, n, 2)
+        a = sp.csr_matrix((np.ones_like(s, bool), (s, r)), shape=(n, n))
+        a2 = (a + a @ a).tolil()
+        a2.setdiag(False)
+        coo = a2.tocsr().tocoo()
+        assert set(zip(ks.tolist(), kr.tolist())) == set(
+            zip(coo.row.tolist(), coo.col.tolist())
+        )
+
+    def test_mesh_edges_bidirectional(self, graphs):
+        pairs = set(zip(graphs.mesh.senders.tolist(), graphs.mesh.receivers.tolist()))
+        assert all((b, a) in pairs for a, b in pairs)
+
+
+class TestAttentionEquivalence:
+    def test_segment_softmax_matches_dense_masked_attention(self):
+        """Graph attention over edges == dense attention with adjacency mask."""
+        rng = np.random.default_rng(0)
+        n, f, h, c = 10, 8, 2, 4
+        # random graph with at least one incoming edge per node
+        senders, receivers = [], []
+        for j in range(n):
+            nbrs = rng.choice(n, size=3, replace=False)
+            senders.extend(nbrs.tolist())
+            receivers.extend([j] * 3)
+        order = np.argsort(receivers, kind="stable")
+        senders = np.asarray(senders, np.int32)[order]
+        receivers = np.asarray(receivers, np.int32)[order]
+        bundle = GraphBundle(
+            senders=senders, receivers=receivers,
+            edge_attr=np.zeros((len(senders), 0), np.float32),
+            n_senders=n, n_receivers=n,
+        )
+        graph = DeviceGraph.from_bundle(bundle, use_csr=False)
+
+        x = jnp.asarray(rng.normal(size=(1, n, f)), jnp.float32)
+        conv = GraphTransformerConv(
+            out_channels=c, num_heads=h, concat=True, beta=False,
+            use_edge_features=False,
+        )
+        params = conv.init(jax.random.PRNGKey(0), x, graph)
+        out = conv.apply(params, x, graph)
+
+        # dense reference
+        p = params["params"]
+        def lin(name, v):
+            return v @ p[name]["kernel"] + p[name]["bias"]
+        q = lin("TorchLinear_0", x[0]).reshape(n, h, c)
+        k = lin("TorchLinear_1", x[0]).reshape(n, h, c)
+        v = lin("TorchLinear_2", x[0]).reshape(n, h, c)
+        mask = np.zeros((n, n), bool)
+        mask[receivers, senders] = True  # [dst, src]
+        logits = jnp.einsum("ihc,jhc->hij", q, k) / np.sqrt(c)
+        logits = jnp.where(jnp.asarray(mask)[None], logits, -jnp.inf)
+        alpha = jax.nn.softmax(logits, axis=-1)
+        dense = jnp.einsum("hij,jhc->ihc", alpha, v).reshape(n, h * c)
+        dense = dense + lin("TorchLinear_3", x[0])
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(dense), atol=1e-5)
+
+
+class TestDenoiser:
+    def test_forward_shape_and_finite(self, denoiser_and_params):
+        den, params = denoiser_and_params
+        rng = np.random.default_rng(0)
+        tgt = jnp.asarray(rng.normal(size=(2, NLON, NLAT, 2)), jnp.float32)
+        prev = jnp.asarray(rng.normal(size=(2, NLON, NLAT, 6)), jnp.float32)
+        noise = jnp.full((2, 1), 0.5)
+        out = den(params, tgt, prev, noise)
+        assert out.shape == (2, NLON, NLAT, 2)
+        assert jnp.all(jnp.isfinite(out))
+
+    def test_high_noise_ignores_target(self, denoiser_and_params):
+        """c_skip -> 0 as sigma -> inf: output dominated by f_theta."""
+        den, params = denoiser_and_params
+        rng = np.random.default_rng(1)
+        prev = jnp.asarray(rng.normal(size=(1, NLON, NLAT, 6)), jnp.float32)
+        t1 = jnp.asarray(rng.normal(size=(1, NLON, NLAT, 2)), jnp.float32)
+        noise_hi = jnp.full((1, 1), 1e4)
+        out1 = den(params, t1, prev, noise_hi)
+        out2 = den(params, 2.0 * t1, prev, noise_hi)
+        # targets scaled by c_in ~ 1e-4 and skipped by c_skip ~ 1e-8.
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-2)
+
+    def test_gradients(self, denoiser_and_params):
+        den, params = denoiser_and_params
+        loss_obj = WeightedMSELoss(grid_lat=_grids()[1])
+        rng = np.random.default_rng(2)
+        tgt = jnp.asarray(rng.normal(size=(1, NLON, NLAT, 2)), jnp.float32)
+        prev = jnp.asarray(rng.normal(size=(1, NLON, NLAT, 6)), jnp.float32)
+        noise = jnp.full((1, 1), 0.5)
+        fwd = den.forward_fn()
+
+        def loss(p):
+            return loss_obj(fwd(p, tgt, prev, noise), noise, tgt)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        assert jnp.isfinite(val)
+        assert all(
+            jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)
+        )
+
+    def test_config_build(self):
+        grid_lon, grid_lat = _grids()
+        cfg = DenoiserConfig(
+            grid_lon=grid_lon, grid_lat=grid_lat, input_features_dim=2,
+            output_features_dim=1, hidden_dims=(8, 8), num_blocks=2,
+            num_heads=2, splits=2, num_hops=1,
+        )
+        den = cfg.build()
+        params = den.init(jax.random.PRNGKey(0))
+        out = den(
+            params,
+            jnp.zeros((1, NLON, NLAT, 1)),
+            jnp.zeros((1, NLON, NLAT, 4)),
+            jnp.ones((1, 1)),
+        )
+        assert out.shape == (1, NLON, NLAT, 1)
+
+
+class TestSampler:
+    def test_sample_shapes_and_stochasticity(self, denoiser_and_params):
+        den, params = denoiser_and_params
+        prev = jnp.asarray(
+            np.random.default_rng(1).normal(size=(1, NLON, NLAT, 6)), jnp.float32
+        )
+        sampler = Sampler(num_steps=4)
+        s1 = sampler.sample(den, params, prev, key=jax.random.PRNGKey(1))
+        s2 = sampler.sample(den, params, prev, key=jax.random.PRNGKey(2))
+        assert s1.shape == (1, NLON, NLAT, 2)
+        assert jnp.all(jnp.isfinite(s1))
+        assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+
+class TestNoiseUtils:
+    def test_noise_level_distribution_range(self):
+        levels = sample_noise_level(jax.random.PRNGKey(0), (1000,))
+        assert float(levels.min()) >= 0.02 - 1e-6
+        assert float(levels.max()) <= 88.0 + 1e-4
+
+    def test_weighted_loss_shape_validation(self):
+        loss = WeightedMSELoss(grid_lat=_grids()[1])
+        with pytest.raises(ValueError):
+            loss(jnp.zeros((1, 4, NLAT, 2)), jnp.ones((2, 1)), jnp.zeros((1, 4, NLAT, 2)))
+        with pytest.raises(ValueError):
+            loss(jnp.zeros((1, 4, 3, 2)), jnp.ones((1, 1)), jnp.zeros((1, 4, 3, 2)))
