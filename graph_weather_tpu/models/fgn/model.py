@@ -1,0 +1,293 @@
+"""FGN: noise-vector-conditioned ensemble forecaster.
+
+Equivalent of reference models/fgn/model.py:60-351 and
+models/fgn/layers/processor.py:20-180: the GenCast encoder/decoder with a
+processor whose ConditionalLayerNorms condition directly on a random noise
+VECTOR (no Fourier embedding, no noise level). `forward` draws a fresh
+gaussian per ensemble member; here the ensemble axis is a `vmap` over PRNG
+keys inside one jitted program instead of a Python loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_weather_tpu.models.gencast.graphs import build_graphcast_graphs
+from graph_weather_tpu.models.gencast.layers import (
+    GenCastDecoder,
+    GenCastEncoder,
+)
+from graph_weather_tpu.models.gencast.modules import CondTransformerBlock, GenCastMLP
+from graph_weather_tpu.nn.graph_blocks import DeviceGraph
+
+
+class FGNProcessor(nn.Module):
+    """Transformer blocks conditioned on a raw noise vector.
+
+    Reference models/fgn/layers/processor.py: same block stack as GenCast's
+    processor (last block averages heads, no activation) but `cond` is the
+    noise vector itself.
+    """
+
+    latent_dim: int
+    hidden_dims: tuple[int, ...]
+    num_blocks: int = 24
+    num_heads: int = 4
+    use_edge_features: bool = True
+    activation: Callable = nn.silu
+    use_layer_norm: bool = True
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        latent_mesh: jnp.ndarray,  # [B, N_mesh, latent]
+        noise_vector: jnp.ndarray,  # [B, noise_dim]
+        khop: DeviceGraph,
+    ) -> jnp.ndarray:
+        if self.latent_dim % self.num_heads != 0:
+            raise ValueError("latent_dim must be divisible by num_heads")
+        cond = noise_vector[:, None, :]
+
+        edge_attr = None
+        if self.use_edge_features and khop.edge_attr.shape[-1] > 0:
+            edge_attr = GenCastMLP(
+                self.hidden_dims, self.activation, self.use_layer_norm
+            )(khop.edge_attr)
+
+        block_cls = CondTransformerBlock
+        if self.remat:
+            block_cls = nn.remat(CondTransformerBlock, static_argnums=())
+        for i in range(self.num_blocks - 1):
+            latent_mesh = block_cls(
+                out_channels=self.latent_dim // self.num_heads,
+                num_heads=self.num_heads,
+                concat=True,
+                beta=True,
+                use_edge_features=edge_attr is not None,
+                activation=self.activation,
+                name=f"CondTransformerBlock_{i}",
+            )(latent_mesh, khop, edge_attr, cond)
+        latent_mesh = block_cls(
+            out_channels=self.latent_dim,
+            num_heads=self.num_heads,
+            concat=False,
+            beta=True,
+            use_edge_features=edge_attr is not None,
+            activation=None,
+            name=f"CondTransformerBlock_{self.num_blocks - 1}",
+        )(latent_mesh, khop, edge_attr, cond)
+        return latent_mesh
+
+
+class FGNModule(nn.Module):
+    """Pure flax single-member forward: state + noise vector -> prediction."""
+
+    output_features_dim: int
+    hidden_dims: tuple[int, ...] = (768, 768)
+    num_blocks: int = 24
+    num_heads: int = 4
+    use_edge_features: bool = True
+    scale_factor: float = 1.0
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        prev_state: jnp.ndarray,  # [B, N_grid, F_in]
+        noise_vector: jnp.ndarray,  # [B, noise_dim]
+        grid_node_feats: jnp.ndarray,
+        mesh_node_feats: jnp.ndarray,
+        g2m: DeviceGraph,
+        khop: DeviceGraph,
+        m2g: DeviceGraph,
+    ) -> jnp.ndarray:
+        batch = prev_state.shape[0]
+        grid_feats = jnp.concatenate(
+            [
+                prev_state,
+                jnp.broadcast_to(grid_node_feats, (batch,) + grid_node_feats.shape),
+            ],
+            axis=-1,
+        )
+        latent_grid, latent_mesh = GenCastEncoder(
+            hidden_dims=self.hidden_dims, scale_factor=self.scale_factor
+        )(grid_feats, mesh_node_feats, g2m)
+        latent_mesh = FGNProcessor(
+            latent_dim=self.hidden_dims[-1],
+            hidden_dims=self.hidden_dims,
+            num_blocks=self.num_blocks,
+            num_heads=self.num_heads,
+            use_edge_features=self.use_edge_features,
+            remat=self.remat,
+        )(latent_mesh, noise_vector, khop)
+        return GenCastDecoder(
+            output_dim=self.output_features_dim, hidden_dims=self.hidden_dims
+        )(latent_mesh, latent_grid, m2g)
+
+
+@dataclass
+class FunctionalGenerativeNetworkConfig:
+    """Mirrors reference models/fgn/model.py:17-57."""
+
+    grid_lon: np.ndarray
+    grid_lat: np.ndarray
+    input_features_dim: int
+    output_features_dim: int
+    noise_dimension: int
+    hidden_dims: tuple = (768, 768)
+    num_blocks: int = 24
+    num_heads: int = 4
+    splits: int = 6
+    num_hops: int = 6
+    use_edges_features: bool = True
+    scale_factor: float = 1.0
+    remat: bool = False
+
+    def build(self) -> "FunctionalGenerativeNetwork":
+        return FunctionalGenerativeNetwork(
+            grid_lon=self.grid_lon,
+            grid_lat=self.grid_lat,
+            input_features_dim=self.input_features_dim,
+            output_features_dim=self.output_features_dim,
+            noise_dimension=self.noise_dimension,
+            hidden_dims=tuple(self.hidden_dims),
+            num_blocks=self.num_blocks,
+            num_heads=self.num_heads,
+            splits=self.splits,
+            num_hops=self.num_hops,
+            use_edges_features=self.use_edges_features,
+            scale_factor=self.scale_factor,
+            remat=self.remat,
+        )
+
+
+class FunctionalGenerativeNetwork:
+    """FGN handle: [B, lon, lat, F_in] -> [B, E, lon, lat, F_out] ensemble."""
+
+    def __init__(
+        self,
+        grid_lon: np.ndarray,
+        grid_lat: np.ndarray,
+        input_features_dim: int,
+        output_features_dim: int,
+        noise_dimension: int,
+        hidden_dims: tuple[int, ...] = (768, 768),
+        num_blocks: int = 24,
+        num_heads: int = 4,
+        splits: int = 6,
+        num_hops: int = 6,
+        use_edges_features: bool = True,
+        scale_factor: float = 1.0,
+        remat: bool = False,
+    ):
+        self.num_lon = len(grid_lon)
+        self.num_lat = len(grid_lat)
+        self.input_features_dim = input_features_dim
+        self.output_features_dim = output_features_dim
+        self.noise_dimension = noise_dimension
+
+        graphs = build_graphcast_graphs(
+            grid_lon,
+            grid_lat,
+            splits=splits,
+            num_hops=num_hops,
+            add_edge_features_to_khop=use_edges_features,
+        )
+        self.graphs = graphs
+        self.g2m = DeviceGraph.from_bundle(graphs.g2m)
+        self.khop = DeviceGraph.from_bundle(graphs.khop)
+        self.m2g = DeviceGraph.from_bundle(graphs.m2g)
+        self.grid_node_feats = jnp.asarray(graphs.grid_node_feats)
+        self.mesh_node_feats = jnp.asarray(graphs.mesh_node_feats)
+
+        self.module = FGNModule(
+            output_features_dim=output_features_dim,
+            hidden_dims=tuple(hidden_dims),
+            num_blocks=num_blocks,
+            num_heads=num_heads,
+            use_edge_features=use_edges_features,
+            scale_factor=scale_factor,
+            remat=remat,
+        )
+        self._jit_apply = None
+        self._jit_init = None
+
+    def _to_nodes(self, x):
+        b, lon, lat, f = x.shape
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, lat * lon, f)
+
+    def _from_nodes(self, x):
+        b, n, f = x.shape
+        return jnp.transpose(
+            x.reshape(b, self.num_lat, self.num_lon, f), (0, 2, 1, 3)
+        )
+
+    def init(self, rng: jax.Array, batch_size: int = 1):
+        if self._jit_init is None:
+            self._jit_init = jax.jit(
+                lambda rng, s, z: self.module.init(
+                    rng,
+                    s,
+                    z,
+                    self.grid_node_feats,
+                    self.mesh_node_feats,
+                    self.g2m,
+                    self.khop,
+                    self.m2g,
+                )
+            )
+        n = self.num_lon * self.num_lat
+        state = jnp.zeros((batch_size, n, self.input_features_dim))
+        noise = jnp.zeros((batch_size, self.noise_dimension))
+        return self._jit_init(rng, state, noise)
+
+    def member_fn(self):
+        """Pure (params, prev_state [B,lon,lat,F], noise_vector) -> prediction."""
+        module = self.module
+        consts = (
+            self.grid_node_feats,
+            self.mesh_node_feats,
+            self.g2m,
+            self.khop,
+            self.m2g,
+        )
+        to_nodes, from_nodes = self._to_nodes, self._from_nodes
+
+        def fn(params, prev_state, noise_vector):
+            out = module.apply(params, to_nodes(prev_state), noise_vector, *consts)
+            return from_nodes(out)
+
+        return fn
+
+    def forward_fn(self, num_ensemble: int = 2):
+        """Pure (params, prev_state, key) -> [B, E, lon, lat, F_out]."""
+        member = self.member_fn()
+        noise_dim = self.noise_dimension
+
+        def fn(params, prev_state, key):
+            batch = prev_state.shape[0]
+            keys = jax.random.split(key, num_ensemble)
+
+            def one(k):
+                z = jax.random.normal(k, (batch, noise_dim))
+                return member(params, prev_state, z)
+
+            ens = jax.vmap(one)(keys)  # [E, B, lon, lat, F]
+            return jnp.swapaxes(ens, 0, 1)
+
+        return fn
+
+    def apply(self, params, prev_state, num_ensemble: int = 2, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        fn = jax.jit(self.forward_fn(num_ensemble))
+        return fn(params, prev_state, key)
+
+    def __call__(self, params, prev_state, num_ensemble: int = 2, key=None):
+        return self.apply(params, prev_state, num_ensemble, key)

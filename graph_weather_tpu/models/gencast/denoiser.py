@@ -76,6 +76,7 @@ class DenoiserModule(nn.Module):
         g2m: DeviceGraph,
         khop: DeviceGraph,
         m2g: DeviceGraph,
+        conditioning: Optional[jnp.ndarray] = None,  # [B, N_grid, C] (GenDA)
     ) -> jnp.ndarray:
         precs = Preconditioner(sigma_data=1.0)
         batch = corrupted_targets.shape[0]
@@ -83,16 +84,13 @@ class DenoiserModule(nn.Module):
         scaled_targets = precs.c_in(noise_levels)[:, :, None] * corrupted_targets
         scaled_noise = precs.c_noise(noise_levels)
 
-        grid_feats = jnp.concatenate(
-            [
-                scaled_targets,
-                prev_inputs,
-                jnp.broadcast_to(
-                    grid_node_feats, (batch,) + grid_node_feats.shape
-                ),
-            ],
-            axis=-1,
+        parts = [scaled_targets, prev_inputs]
+        if conditioning is not None:
+            parts.append(conditioning)
+        parts.append(
+            jnp.broadcast_to(grid_node_feats, (batch,) + grid_node_feats.shape)
         )
+        grid_feats = jnp.concatenate(parts, axis=-1)
 
         latent_grid, latent_mesh = GenCastEncoder(
             hidden_dims=self.hidden_dims,

@@ -1,0 +1,138 @@
+"""FGN and GenDA tests (mirrors reference tests/test_fgn.py, tests/test_genda.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_weather_tpu.models.fgn import (
+    FunctionalGenerativeNetwork,
+    FunctionalGenerativeNetworkConfig,
+)
+from graph_weather_tpu.models.genda import GenDA, GenDAConfig
+
+NLAT, NLON = 16, 32
+
+
+def _grids():
+    return np.arange(0, 360, 360 / NLON), np.linspace(-90, 90, NLAT)
+
+
+class TestFGN:
+    @pytest.fixture(scope="class")
+    def fgn(self):
+        grid_lon, grid_lat = _grids()
+        model = FunctionalGenerativeNetwork(
+            grid_lon, grid_lat, input_features_dim=3, output_features_dim=2,
+            noise_dimension=4, hidden_dims=(16, 16), num_blocks=2, num_heads=4,
+            splits=2, num_hops=2,
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        return model, params
+
+    def test_ensemble_shapes(self, fgn):
+        model, params = fgn
+        state = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, NLON, NLAT, 3)), jnp.float32
+        )
+        out = model(params, state, num_ensemble=3, key=jax.random.PRNGKey(1))
+        assert out.shape == (2, 3, NLON, NLAT, 2)
+        assert jnp.all(jnp.isfinite(out))
+
+    def test_ensemble_members_differ(self, fgn):
+        model, params = fgn
+        state = jnp.ones((1, NLON, NLAT, 3))
+        out = model(params, state, num_ensemble=2, key=jax.random.PRNGKey(2))
+        assert not np.allclose(np.asarray(out[:, 0]), np.asarray(out[:, 1]))
+
+    def test_config_build(self):
+        grid_lon, grid_lat = _grids()
+        cfg = FunctionalGenerativeNetworkConfig(
+            grid_lon=grid_lon, grid_lat=grid_lat, input_features_dim=2,
+            output_features_dim=1, noise_dimension=3, hidden_dims=(8, 8),
+            num_blocks=2, num_heads=2, splits=2, num_hops=1,
+        )
+        model = cfg.build()
+        params = model.init(jax.random.PRNGKey(0))
+        out = model(params, jnp.zeros((1, NLON, NLAT, 2)), num_ensemble=1)
+        assert out.shape == (1, 1, NLON, NLAT, 1)
+
+
+class TestGenDA:
+    @pytest.fixture(scope="class")
+    def genda(self):
+        grid_lon, grid_lat = _grids()
+        model = GenDA(
+            grid_lon, grid_lat, input_features_dim=2, output_features_dim=2,
+            hidden_dims=(16, 16), num_blocks=2, num_heads=4, splits=2,
+            num_hops=2, conditioning_dim=2,
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        return model, params
+
+    def _tensors(self, batch=1):
+        rng = np.random.default_rng(0)
+        tgt = jnp.asarray(rng.normal(size=(batch, NLON, NLAT, 2)), jnp.float32)
+        prev = jnp.asarray(rng.normal(size=(batch, NLON, NLAT, 4)), jnp.float32)
+        noise = jnp.full((batch, 1), 0.5)
+        mask = jnp.asarray(
+            (rng.random((batch, NLON, NLAT, 1)) < 0.1).astype(np.float32)
+        )
+        values = jnp.asarray(rng.normal(size=(batch, NLON, NLAT, 1)), jnp.float32)
+        return tgt, prev, noise, mask, values
+
+    def test_forward_with_conditioning(self, genda):
+        model, params = genda
+        tgt, prev, noise, mask, values = self._tensors()
+        out = model(params, tgt, prev, noise, sensor_mask=mask, sensor_values=values)
+        assert out.shape == (1, NLON, NLAT, 2)
+        assert jnp.all(jnp.isfinite(out))
+
+    def test_forward_without_conditioning(self, genda):
+        model, params = genda
+        tgt, prev, noise, _, _ = self._tensors()
+        out = model(params, tgt, prev, noise)
+        assert out.shape == (1, NLON, NLAT, 2)
+
+    def test_conditioning_changes_output(self, genda):
+        model, params = genda
+        tgt, prev, noise, mask, values = self._tensors()
+        out_c = model(params, tgt, prev, noise, sensor_mask=mask, sensor_values=values)
+        out_u = model(
+            params, tgt, prev, noise,
+            sensor_mask=jnp.zeros_like(mask), sensor_values=jnp.zeros_like(values),
+        )
+        assert not np.allclose(np.asarray(out_c), np.asarray(out_u))
+
+    def test_guided_forward_interpolates(self, genda):
+        """gamma=1 must equal the conditional forward exactly."""
+        model, params = genda
+        tgt, prev, noise, mask, values = self._tensors()
+        guided = model.guided_forward(params, tgt, prev, noise, mask, values, gamma=1.0)
+        cond = model(params, tgt, prev, noise, sensor_mask=mask, sensor_values=values)
+        np.testing.assert_allclose(np.asarray(guided), np.asarray(cond), atol=1e-6)
+
+    def test_sensor_shape_validation(self, genda):
+        model, params = genda
+        tgt, prev, noise, mask, values = self._tensors()
+        with pytest.raises(ValueError):
+            model(
+                params, tgt, prev, noise,
+                sensor_mask=jnp.zeros((1, NLON, NLAT, 2)), sensor_values=values,
+            )
+
+    def test_config_build(self):
+        grid_lon, grid_lat = _grids()
+        model = GenDAConfig(
+            grid_lon=grid_lon, grid_lat=grid_lat, input_features_dim=1,
+            output_features_dim=1, hidden_dims=(8, 8), num_blocks=2,
+            num_heads=2, splits=2, num_hops=1,
+        ).build()
+        params = model.init(jax.random.PRNGKey(0))
+        out = model(
+            params,
+            jnp.zeros((1, NLON, NLAT, 1)),
+            jnp.zeros((1, NLON, NLAT, 2)),
+            jnp.ones((1, 1)),
+        )
+        assert out.shape == (1, NLON, NLAT, 1)
