@@ -6,6 +6,7 @@ assimilation, diffusion ensembles (GenCast/FGN/GenDA), attention
 forecasters (WeatherMesh/CaFA/Aurora/FengWu-GHR), and regional models.
 """
 
+from graph_weather_tpu.data.weather_station_reader import WeatherStationReader
 from graph_weather_tpu.models.analysis import (
     GraphWeatherAssimilator,
     GraphWeatherAssimilatorConfig,
@@ -14,14 +15,16 @@ from graph_weather_tpu.models.forecast import (
     GraphWeatherForecaster,
     GraphWeatherForecasterConfig,
 )
-from graph_weather_tpu.models.losses import NormalizedMSELoss
+from graph_weather_tpu.models.losses import AMSENormalizedLoss, NormalizedMSELoss
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "AMSENormalizedLoss",
     "GraphWeatherAssimilator",
     "GraphWeatherAssimilatorConfig",
     "GraphWeatherForecaster",
     "GraphWeatherForecasterConfig",
     "NormalizedMSELoss",
+    "WeatherStationReader",
 ]

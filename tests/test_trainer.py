@@ -1,0 +1,70 @@
+"""Trainer: loss decreases, NaN-skip, checkpoint save/resume round trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_weather_tpu import GraphWeatherForecaster, NormalizedMSELoss
+from graph_weather_tpu.train import Trainer, TrainerConfig
+
+
+@pytest.fixture(scope="module")
+def setup():
+    lat_lons = [
+        (float(a), float(b)) for a in range(-80, 81, 40) for b in range(0, 360, 60)
+    ]
+    model = GraphWeatherForecaster(
+        lat_lons, feature_dim=4, aux_dim=2, node_dim=16, edge_dim=16, num_blocks=1,
+        hidden_dim_processor_node=16, hidden_dim_processor_edge=16, hidden_dim_decoder=8,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    loss = NormalizedMSELoss(np.ones(4), lat_lons, normalize=True)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, len(lat_lons), 6)).astype(np.float32)
+    y = (x[..., :4] + 0.1).astype(np.float32)
+    return model, params, loss, x, y
+
+
+def test_loss_decreases(setup):
+    model, params, loss, x, y = setup
+    trainer = Trainer(
+        model.forward_fn(), loss,
+        TrainerConfig(peak_lr=1e-2, warmup_steps=2, total_steps=50, log_every=5),
+    )
+    batches = [(x, y)] * 30
+    params2, _, history = trainer.fit(params, batches, num_steps=30)
+    assert history[-1]["loss"] < history[0]["loss"]
+    assert history[-1]["steps_per_sec"] > 0
+
+
+def test_nan_batch_skipped(setup):
+    model, params, loss, x, y = setup
+    trainer = Trainer(
+        model.forward_fn(), loss,
+        TrainerConfig(peak_lr=1e-3, warmup_steps=1, total_steps=10, log_every=1),
+    )
+    bad_x = x.copy()
+    bad_x[0, 0, 0] = np.nan
+    batches = [(x, y), (bad_x, y), (x, y)]
+    params2, _, history = trainer.fit(params, batches, num_steps=3)
+    leaves = jax.tree_util.tree_leaves(params2)
+    assert all(np.isfinite(np.asarray(p)).all() for p in leaves)
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    model, params, loss, x, y = setup
+    cfg = TrainerConfig(
+        peak_lr=1e-3, warmup_steps=1, total_steps=10,
+        checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_every=2, log_every=1,
+    )
+    trainer = Trainer(model.forward_fn(), loss, cfg)
+    params2, opt_state, _ = trainer.fit(params, [(x, y)] * 4, num_steps=4)
+
+    trainer2 = Trainer(model.forward_fn(), loss, cfg)
+    step, rparams, ropt = trainer2.resume(params)
+    assert step == 4
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        params2, rparams,
+    )
