@@ -42,9 +42,18 @@ def khop_edges(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Edges of the <=num_hops-neighborhood graph (no self loops).
 
-    Boolean sparse matrix powers: A_k = A_{k-1} | (A_{k-1} @ A), mirroring
-    reference graph_builder.py:309-355.
+    Uses the native C++ stamped-BFS expander (csrc/meshops.cpp) when the
+    toolchain is available — linear memory vs the quadratic intermediates of
+    matrix powers at splits 6 — with a scipy boolean-matrix-power fallback
+    mirroring reference graph_builder.py:309-355. Both paths produce the
+    same edge SET; ordering is normalized downstream by receiver sorting.
     """
+    from graph_weather_tpu.csrc import khop_edges_native
+
+    native = khop_edges_native(senders, receivers, n, num_hops)
+    if native is not None:
+        return native
+
     adj = sp.csr_matrix(
         (np.ones_like(senders, dtype=bool), (senders, receivers)), shape=(n, n)
     )

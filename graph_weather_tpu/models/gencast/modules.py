@@ -68,22 +68,49 @@ class InteractionNetwork(nn.Module):
         edge_attr: jnp.ndarray,
         graph: DeviceGraph,
     ) -> jnp.ndarray:
-        msg_in = jnp.concatenate(
+        # Factorized first layer: the [E, 3F] concat never materializes and
+        # the node partial products are computed per node (see
+        # nn/graph_blocks._GatherSumLinear). Param tree identical to the
+        # naive GenCastMLP formulation.
+        msg = _FactorizedGenCastMLP(
+            self.hidden_dims, self.activation, self.use_layer_norm,
+            name="GenCastMLP_0",
+        )(
             [
-                jnp.take(x_src, graph.senders, axis=-2),
-                jnp.take(x_dst, graph.receivers, axis=-2),
-                edge_attr,
-            ],
-            axis=-1,
+                (x_src, graph.senders),
+                (x_dst, graph.receivers),
+                (edge_attr, None),
+            ]
         )
-        msg = GenCastMLP(
-            self.hidden_dims, self.activation, self.use_layer_norm
-        )(msg_in)
         msg = msg * self.scale_factor
         agg = graph.aggregate(msg)
-        return GenCastMLP(self.hidden_dims, self.activation, self.use_layer_norm)(
-            jnp.concatenate([x_dst, agg], axis=-1)
-        )
+        return GenCastMLP(
+            self.hidden_dims, self.activation, self.use_layer_norm,
+            name="GenCastMLP_1",
+        )(jnp.concatenate([x_dst, agg], axis=-1))
+
+
+class _FactorizedGenCastMLP(nn.Module):
+    """GenCastMLP whose first layer is a _GatherSumLinear over parts."""
+
+    hidden_dims: tuple[int, ...]
+    activation: Callable = nn.silu
+    use_layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, parts) -> jnp.ndarray:
+        from graph_weather_tpu.nn.graph_blocks import _GatherSumLinear
+
+        x = _GatherSumLinear(self.hidden_dims[0], name="TorchLinear_0")(parts)
+        if len(self.hidden_dims) > 1:
+            x = self.activation(x)
+        for i, dim in enumerate(self.hidden_dims[1:], start=1):
+            x = TorchLinear(dim, name=f"TorchLinear_{i}")(x)
+            if i < len(self.hidden_dims) - 1:
+                x = self.activation(x)
+        if self.use_layer_norm:
+            x = nn.LayerNorm(epsilon=1e-5, name="LayerNorm_0")(x)
+        return x
 
 
 class FourierEmbedding(nn.Module):

@@ -80,7 +80,16 @@ class DeviceGraph:
 
 
 class EdgeBlock(nn.Module):
-    """e' = MLP([x_src[s], x_dst[r], e]) + e."""
+    """e' = MLP([x_src[s], x_dst[r], e]) + e.
+
+    The first MLP layer is computed FACTORIZED:
+        [s, d, e] @ W == s @ W_s + d @ W_d + e @ W_e
+    with the node partial products done per NODE before gathering, so the
+    [E, 3F] concatenation never materializes in HBM and the per-edge part of
+    the layer-1 matmul shrinks from E(3F)H to E F H flops. Mathematically
+    identical (same parameters, same result up to f32 summation order); this
+    is the main HBM-traffic optimization of the message-passing hot loop.
+    """
 
     edge_dim: int
     hidden_dim: int = 128
@@ -95,18 +104,98 @@ class EdgeBlock(nn.Module):
         edge_feats: jnp.ndarray,
         graph: DeviceGraph,
     ) -> jnp.ndarray:
-        inputs = jnp.concatenate(
-            [
-                jnp.take(x_src, graph.senders, axis=-2),
-                jnp.take(x_dst, graph.receivers, axis=-2),
-                edge_feats,
-            ],
-            axis=-1,
-        )
-        out = MLP(
-            self.edge_dim, self.hidden_dim, self.hidden_layers, self.norm_type
-        )(inputs)
+        out = _FactorizedEdgeMLP(
+            self.edge_dim, self.hidden_dim, self.hidden_layers, self.norm_type,
+            name="MLP_0",
+        )(x_src, x_dst, edge_feats, graph)
         return out + edge_feats
+
+
+class _GatherSumLinear(nn.Module):
+    """One Linear over virtually-concatenated inputs, computed factorized.
+
+    y = concat(parts) @ W + b  ==  sum_i (parts_i @ W_i)[gather_i] + b
+    where node-indexed parts are matmul'd per NODE before gathering to
+    edges. Stores ONE fused kernel with torch-Linear init (identical param
+    to TorchLinear over the concatenation).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, parts) -> jnp.ndarray:
+        """parts: sequence of (tensor, gather_index_or_None)."""
+        import jax
+
+        from graph_weather_tpu.nn.mlp import torch_linear_kernel_init
+
+        fan_in = sum(p.shape[-1] for p, _ in parts)
+        kernel = self.param(
+            "kernel", torch_linear_kernel_init, (fan_in, self.features), jnp.float32
+        )
+        bound = 1.0 / (fan_in**0.5)
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        bias = self.param("bias", bias_init, (self.features,), jnp.float32)
+
+        y = None
+        offset = 0
+        for tensor, idx in parts:
+            w = jax.lax.slice_in_dim(kernel, offset, offset + tensor.shape[-1], axis=0)
+            offset += tensor.shape[-1]
+            t = tensor @ w.astype(tensor.dtype)
+            if idx is not None:
+                t = jnp.take(t, idx, axis=-2)
+            y = t if y is None else y + t
+        return y + bias.astype(y.dtype)
+
+
+class _FactorizedEdgeMLP(nn.Module):
+    """MLP over [src, dst, e] with the factorized first layer.
+
+    Parameter tree is identical to `MLP` (TorchLinear_0..k + norm), so
+    checkpoints are interchangeable with the naive concatenation form.
+    """
+
+    out_dim: int
+    hidden_dim: int
+    hidden_layers: int
+    norm_type: Optional[str]
+
+    @nn.compact
+    def __call__(
+        self,
+        x_src: jnp.ndarray,
+        x_dst: jnp.ndarray,
+        edge_feats: jnp.ndarray,
+        graph: DeviceGraph,
+    ) -> jnp.ndarray:
+        from graph_weather_tpu.nn.mlp import TorchLinear
+
+        h = _GatherSumLinear(self.hidden_dim, name="TorchLinear_0")(
+            [
+                (x_src, graph.senders),
+                (x_dst, graph.receivers),
+                (edge_feats, None),
+            ]
+        )
+        h = nn.relu(h)
+        for i in range(1, self.hidden_layers):
+            h = nn.relu(TorchLinear(self.hidden_dim, name=f"TorchLinear_{i}")(h))
+        h = TorchLinear(self.out_dim, name=f"TorchLinear_{self.hidden_layers}")(h)
+        if self.norm_type == "LayerNorm":
+            h = nn.LayerNorm(epsilon=1e-5, name="LayerNorm_0")(h)
+        elif self.norm_type == "RMSNorm":
+            h = nn.RMSNorm(epsilon=1e-5, name="RMSNorm_0")(h)
+        elif self.norm_type == "GraphNorm":
+            from graph_weather_tpu.nn.mlp import _GraphNorm
+
+            h = _GraphNorm(name="_GraphNorm_0")(h)
+        elif self.norm_type not in (None, "none"):
+            raise ValueError(f"Unsupported norm_type: {self.norm_type}")
+        return h
 
 
 class NodeBlock(nn.Module):

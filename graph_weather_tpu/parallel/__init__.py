@@ -13,5 +13,12 @@ from graph_weather_tpu.parallel.sharding import (
     shard_params_fsdp,
     sharding_for_tree,
 )
+from graph_weather_tpu.parallel.spatial import node_sharded_forward
 
-__all__ = ["make_mesh", "shard_batch", "shard_params_fsdp", "sharding_for_tree"]
+__all__ = [
+    "make_mesh",
+    "node_sharded_forward",
+    "shard_batch",
+    "shard_params_fsdp",
+    "sharding_for_tree",
+]

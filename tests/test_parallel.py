@@ -1,0 +1,92 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (a capability the
+reference lacks entirely — its distribution is hidden inside Lightning/
+DeepSpeed, SURVEY section 2.8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_weather_tpu import GraphWeatherForecaster, NormalizedMSELoss
+from graph_weather_tpu.parallel import (
+    make_mesh,
+    node_sharded_forward,
+    shard_batch,
+    sharding_for_tree,
+)
+from graph_weather_tpu.train import make_optimizer, make_train_step
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _small_model():
+    lat_lons = [
+        (float(a), float(b)) for a in range(-80, 81, 20) for b in range(0, 360, 24)
+    ]
+    model = GraphWeatherForecaster(
+        lat_lons, feature_dim=8, aux_dim=4, node_dim=32, edge_dim=32,
+        num_blocks=2, hidden_dim_processor_node=32, hidden_dim_processor_edge=32,
+        hidden_dim_decoder=16,
+    )
+    return model, lat_lons
+
+
+def test_mesh_shape():
+    mesh = make_mesh(8)
+    assert mesh.shape["data"] * mesh.shape["model"] == 8
+
+
+def test_fsdp_param_sharding_covers_large_leaves():
+    model, _ = _small_model()
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(8)
+    shardings = sharding_for_tree(params, mesh)
+    leaves = jax.tree_util.tree_leaves(shardings)
+    from jax.sharding import PartitionSpec as P
+
+    assert any(s.spec != P() for s in leaves)  # something actually sharded
+
+
+def test_spatial_sharding_matches_replicated():
+    model, lat_lons = _small_model()
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, len(lat_lons), 12))
+    ref = model.apply(params, x)
+    mesh = make_mesh(8)
+    fn = jax.jit(node_sharded_forward(model.forward_fn(), mesh))
+    out = fn(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_sharded_train_step_runs_and_matches_single_device():
+    model, lat_lons = _small_model()
+    params = model.init(jax.random.PRNGKey(0))
+    loss_obj = NormalizedMSELoss(np.ones(8), lat_lons, normalize=True)
+    opt = make_optimizer(learning_rate=1e-3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, len(lat_lons), 12))
+    y = jax.random.normal(jax.random.PRNGKey(2), (4, len(lat_lons), 8))
+
+    # single-device reference
+    step_ref = jax.jit(make_train_step(model.forward_fn(), loss_obj, opt))
+    p_ref, _, loss_ref = step_ref(params, opt.init(params), x, y)
+
+    # 8-device DP + FSDP + spatial
+    mesh = make_mesh(8)
+    fwd = node_sharded_forward(model.forward_fn(), mesh)
+    sp = sharding_for_tree(params, mesh)
+    params_s = jax.device_put(params, sp)
+    opt_state = opt.init(params_s)
+    opt_state = jax.device_put(opt_state, sharding_for_tree(opt_state, mesh))
+    xs, ys = shard_batch((x, y), mesh)
+    step = jax.jit(make_train_step(fwd, loss_obj, opt))
+    p_new, _, loss = step(params_s, opt_state, xs, ys)
+
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        p_new, p_ref,
+    )
