@@ -219,13 +219,28 @@ class GraphWeatherForecaster:
             self._jit_apply = jax.jit(self.forward_fn())
         return self._jit_apply(params, features)
 
-    def forward_fn(self):
-        """A pure (params, features) -> prediction function for jit/grad."""
+    def forward_fn(self, compute_dtype=None):
+        """A pure (params, features) -> prediction function for jit/grad.
+
+        compute_dtype=jnp.bfloat16 runs the whole network in bf16 (params
+        cast at entry, output cast back to f32) — the TPU-native policy for
+        the memory-bound message-passing pipeline; norms still accumulate
+        in f32 internally.
+        """
         g2m, latent, m2g = self.g2m, self.latent, self.m2g
         module = self.module
 
         def fn(params, features):
-            return module.apply(params, features, g2m, latent, m2g)
+            if compute_dtype is not None:
+                params = jax.tree_util.tree_map(
+                    lambda t: t.astype(compute_dtype)
+                    if jnp.issubdtype(t.dtype, jnp.floating)
+                    else t,
+                    params,
+                )
+                features = features.astype(compute_dtype)
+            out = module.apply(params, features, g2m, latent, m2g)
+            return out.astype(jnp.float32) if compute_dtype is not None else out
 
         return fn
 

@@ -44,7 +44,7 @@ class GenCastMLP(nn.Module):
         if self.activate_final:
             x = self.activation(x)
         if self.use_layer_norm:
-            x = nn.LayerNorm(epsilon=1e-5)(x)
+            x = nn.LayerNorm(epsilon=1e-5)(x).astype(x.dtype)
         return x
 
 
@@ -109,7 +109,7 @@ class _FactorizedGenCastMLP(nn.Module):
             if i < len(self.hidden_dims) - 1:
                 x = self.activation(x)
         if self.use_layer_norm:
-            x = nn.LayerNorm(epsilon=1e-5, name="LayerNorm_0")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="LayerNorm_0")(x).astype(x.dtype)
         return x
 
 

@@ -185,10 +185,11 @@ class _FactorizedEdgeMLP(nn.Module):
         for i in range(1, self.hidden_layers):
             h = nn.relu(TorchLinear(self.hidden_dim, name=f"TorchLinear_{i}")(h))
         h = TorchLinear(self.out_dim, name=f"TorchLinear_{self.hidden_layers}")(h)
+        dtype_in = h.dtype
         if self.norm_type == "LayerNorm":
-            h = nn.LayerNorm(epsilon=1e-5, name="LayerNorm_0")(h)
+            h = nn.LayerNorm(epsilon=1e-5, name="LayerNorm_0")(h).astype(dtype_in)
         elif self.norm_type == "RMSNorm":
-            h = nn.RMSNorm(epsilon=1e-5, name="RMSNorm_0")(h)
+            h = nn.RMSNorm(epsilon=1e-5, name="RMSNorm_0")(h).astype(dtype_in)
         elif self.norm_type == "GraphNorm":
             from graph_weather_tpu.nn.mlp import _GraphNorm
 

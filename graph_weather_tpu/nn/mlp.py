@@ -104,10 +104,13 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dtype_in = x.dtype
         for _ in range(self.hidden_layers):
             x = nn.relu(TorchLinear(self.hidden_dim)(x))
         x = TorchLinear(self.out_dim)(x)
         norm = make_norm(self.norm_type, self.out_dim)
         if norm is not None:
-            x = norm(x)
+            # norms accumulate in f32; cast back so a bf16 compute policy
+            # survives the norm (flax would otherwise promote to f32)
+            x = norm(x).astype(dtype_in)
         return x
