@@ -6,6 +6,7 @@ assimilation, diffusion ensembles (GenCast/FGN/GenDA), attention
 forecasters (WeatherMesh/CaFA/Aurora/FengWu-GHR), and regional models.
 """
 
+from graph_weather_tpu.data.nnja_ai import SensorDataset
 from graph_weather_tpu.data.weather_station_reader import WeatherStationReader
 from graph_weather_tpu.models.analysis import (
     GraphWeatherAssimilator,
@@ -26,5 +27,6 @@ __all__ = [
     "GraphWeatherForecaster",
     "GraphWeatherForecasterConfig",
     "NormalizedMSELoss",
+    "SensorDataset",
     "WeatherStationReader",
 ]

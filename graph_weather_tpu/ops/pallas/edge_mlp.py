@@ -9,10 +9,15 @@ Computes, for every edge (s, r) of a graph whose node array fits in VMEM:
 
 in ONE kernel: node features stay resident in VMEM across all edge tiles,
 per-edge gathers happen on-chip, and none of the [E, H] intermediates ever
-round-trips through HBM (the XLA path materializes ~6 of them). This is
-the BASELINE.json north-star kernel ("fused Pallas gather + edge-MLP +
-segment-sum scatter"); aggregation stays in XLA where the sorted CSR sum
-already fuses well.
+round-trips through HBM.
+
+STATUS: verified exact against the XLA reference in interpret mode
+(tests/test_pallas_kernels.py), but the current Mosaic TPU compiler cannot
+lower the on-chip row gather (its gather rule only supports
+take_along_axis with operand-shaped indices, lowering.py:2484), so this
+kernel does not yet compile for TPU. See ops/pallas/fused_mlp.py for the
+compiled variant that keeps gathers in XLA — which measurement showed is
+the right split anyway (XLA's fusion beat the hand-pipelined chain).
 
 Grid: 1D over edge tiles. x_src / x_dst are whole-array VMEM blocks (mesh
 node sets are small: 5,882 x 256 f32 = 6 MB); weights live in VMEM; edge

@@ -68,3 +68,21 @@ def test_checkpoint_roundtrip(setup, tmp_path):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
         params2, rparams,
     )
+
+
+def test_scan_rollout_matches_python_loop(setup):
+    from graph_weather_tpu.train.rollout import make_rollout_fn
+
+    model, params, _, x, _ = setup
+    x = jnp.asarray(x)
+    roll = jax.jit(make_rollout_fn(model.forward_fn(), 3))
+    traj = roll(params, x)
+    fwd = model.forward_fn()
+    state = x
+    outs = []
+    for _ in range(3):
+        o = fwd(params, state)
+        outs.append(o)
+        state = jnp.concatenate([o, state[..., 4:]], axis=-1)
+    ref = jnp.stack(outs)
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(ref), atol=1e-5)
