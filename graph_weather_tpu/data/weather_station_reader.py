@@ -169,16 +169,20 @@ class WeatherStationReader:
         variables: Optional[List[str]] = None,
         start_time=None,
         end_time=None,
+        frames: Optional[List[pd.DataFrame]] = None,
     ) -> Optional[dict]:
         """Observations as model arrays: lat/lon/height + feature matrix.
 
         Returns {'lat_lon_heights': [N, 3], 'features': [N, F],
-        'variables': [...], 'times': [N]} or None when empty.
+        'variables': [...], 'times': [N]} or None when empty. Uses all
+        cached/scanned files unless explicit `frames` are given.
         """
-        self.process_new_observations()
-        if not self._frames:
+        if frames is None:
+            self.process_new_observations()
+            frames = list(self._frames.values())
+        if not frames:
             return None
-        df = pd.concat(self._frames.values(), ignore_index=True)
+        df = pd.concat(frames, ignore_index=True)
         if start_time is not None:
             df = df[df["time"] >= pd.Timestamp(start_time)]
         if end_time is not None:
@@ -214,13 +218,10 @@ class WeatherStationReader:
             "times": df["time"].to_numpy()[keep] if "time" in df.columns else None,
         }
 
-    def convert_to_model_format(self, df: pd.DataFrame) -> dict:
-        """Single-frame variant of get_observations_for_model."""
-        self._frames["__adhoc__"] = self._standardize_columns(df)
-        try:
-            return self.get_observations_for_model()
-        finally:
-            self._frames.pop("__adhoc__", None)
+    def convert_to_model_format(self, df: pd.DataFrame) -> Optional[dict]:
+        """Single-frame variant: converts ONLY `df` (no cached frames)."""
+        frame = self.validate_observations(self._standardize_columns(df))
+        return self.get_observations_for_model(frames=[frame])
 
     # -- WeatherReal format ----------------------------------------------------
     def convert_to_weatherreal(self, df: pd.DataFrame) -> pd.DataFrame:

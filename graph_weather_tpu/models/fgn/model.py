@@ -286,8 +286,11 @@ class FunctionalGenerativeNetwork:
 
     def apply(self, params, prev_state, num_ensemble: int = 2, key=None):
         key = key if key is not None else jax.random.PRNGKey(0)
-        fn = jax.jit(self.forward_fn(num_ensemble))
-        return fn(params, prev_state, key)
+        if self._jit_apply is None:
+            self._jit_apply = {}
+        if num_ensemble not in self._jit_apply:
+            self._jit_apply[num_ensemble] = jax.jit(self.forward_fn(num_ensemble))
+        return self._jit_apply[num_ensemble](params, prev_state, key)
 
     def __call__(self, params, prev_state, num_ensemble: int = 2, key=None):
         return self.apply(params, prev_state, num_ensemble, key)

@@ -228,6 +228,12 @@ class GraphWeatherForecaster:
         in f32 internally.
         """
         g2m, latent, m2g = self.g2m, self.latent, self.m2g
+        if compute_dtype is not None:
+            # Graph edge features must be cast too: a single f32 operand
+            # would promote the whole message-passing pipeline back to f32.
+            g2m = g2m.replace(edge_attr=g2m.edge_attr.astype(compute_dtype))
+            latent = latent.replace(edge_attr=latent.edge_attr.astype(compute_dtype))
+            m2g = m2g.replace(edge_attr=m2g.edge_attr.astype(compute_dtype))
         module = self.module
 
         def fn(params, features):

@@ -61,13 +61,13 @@ class Sampler:
 
         return jax.vmap(one)(keys)
 
-    def sample_fn(self, denoiser, params):
-        """Pure jittable (key, prev_inputs) -> residual sample function."""
+    def sample_fn(self, denoiser):
+        """Pure jittable (params, key, prev_inputs) -> residual sample fn."""
         fwd = denoiser.forward_fn()
         sigmas = self.sigmas()
         gamma_const = min(self.S_churn / self.num_steps, 2**0.5 - 1)
 
-        def fn(key, prev_inputs):
+        def fn(params, key, prev_inputs):
             batch = prev_inputs.shape[0]
             key, init_key = jax.random.split(key)
             x = sigmas[0] * self._noise(init_key, denoiser, batch)
@@ -118,6 +118,10 @@ class Sampler:
     def sample(self, denoiser, params, prev_inputs, key=None):
         """Generate one residual sample conditioned on the previous 2 steps.
 
+        The jitted sampler program is cached per denoiser (params are a
+        traced argument, not baked-in constants), so repeated sampling —
+        e.g. an autoregressive rollout — compiles once.
+
         Args:
             denoiser: Denoiser handle.
             params: denoiser parameters.
@@ -125,4 +129,9 @@ class Sampler:
             key: jax PRNG key (defaults to PRNGKey(0)).
         """
         key = key if key is not None else jax.random.PRNGKey(0)
-        return jax.jit(self.sample_fn(denoiser, params))(key, prev_inputs)
+        cache_key = id(denoiser)
+        if not hasattr(self, "_jit_cache"):
+            self._jit_cache = {}
+        if cache_key not in self._jit_cache:
+            self._jit_cache[cache_key] = jax.jit(self.sample_fn(denoiser))
+        return self._jit_cache[cache_key](params, key, prev_inputs)

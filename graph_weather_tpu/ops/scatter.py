@@ -68,13 +68,9 @@ def build_padded_csr(receivers: np.ndarray, n_receivers: int) -> tuple[np.ndarra
     receivers = np.asarray(receivers)
     counts = np.bincount(receivers, minlength=n_receivers)
     k = int(counts.max()) if counts.size else 0
-    offsets = np.zeros(n_receivers + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
     edge_ids = np.zeros((n_receivers, k), dtype=np.int32)
-    mask = np.zeros((n_receivers, k), dtype=bool)
-    # receivers is sorted, so edges for node n are offsets[n]:offsets[n+1].
-    col = np.arange(k)
-    within = col[None, :] < counts[:, None]
+    # receivers is sorted, so filling valid row-major slots in order assigns
+    # each node its contiguous run of edge ids.
+    within = np.arange(k)[None, :] < counts[:, None]
     edge_ids[within] = np.arange(receivers.shape[0], dtype=np.int32)
-    mask = within
-    return edge_ids, mask
+    return edge_ids, within

@@ -33,15 +33,16 @@ def make_rollout_fn(
 
     def rollout(params, features):
         f_out = feature_dim
+        if f_out is None:
+            f_out = jax.eval_shape(forward_fn, params, features).shape[-1]
 
         def step(state, _):
             pred = forward_fn(params, state)
-            fo = pred.shape[-1] if f_out is None else f_out
-            new_state = jnp.concatenate([pred, state[..., fo:]], axis=-1)
+            new_state = jnp.concatenate([pred, state[..., f_out:]], axis=-1)
             return new_state, pred if collect else None
 
         final, traj = jax.lax.scan(step, features, None, length=num_steps)
-        return traj if collect else final[..., : final.shape[-1]]
+        return traj if collect else final[..., :f_out]
 
     return rollout
 

@@ -23,6 +23,7 @@ import optax
 
 from graph_weather_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from graph_weather_tpu.train.optim import cosine_warmup_schedule, make_optimizer
+from graph_weather_tpu.train.step import make_train_step
 
 logger = logging.getLogger("graph_weather_tpu.train")
 
@@ -82,30 +83,32 @@ class Trainer:
         if config.bf16_compute:
             base_fwd = forward_fn
 
-            def fwd(params, *inputs):
-                p16 = jax.tree_util.tree_map(
-                    lambda t: t.astype(jnp.bfloat16)
+            def _cast16(t):
+                return (
+                    t.astype(jnp.bfloat16)
                     if jnp.issubdtype(t.dtype, jnp.floating)
-                    else t,
-                    params,
+                    else t
                 )
-                return base_fwd(p16, *inputs).astype(jnp.float32)
 
-        optimizer = self.optimizer
+            def fwd(params, *inputs):
+                # Master params stay f32 in the optimizer; compute runs
+                # bf16: both params AND inputs must be cast — a single f32
+                # operand would promote the matmuls back to f32.
+                p16 = jax.tree_util.tree_map(_cast16, params)
+                in16 = jax.tree_util.tree_map(_cast16, inputs)
+                return base_fwd(p16, *in16).astype(jnp.float32)
 
-        def train_step(params, opt_state, *batch):
-            inputs, targets = batch[:-1], batch[-1]
+        if config.profile_steps is not None:
+            start, stop = config.profile_steps
+            if stop <= start:
+                raise ValueError(
+                    f"profile_steps stop ({stop}) must be > start ({start})"
+                )
 
-            def objective(p):
-                return loss_fn(fwd(p, *inputs), targets)
-
-            loss, grads = jax.value_and_grad(objective)(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            gnorm = optax.global_norm(grads)
-            return params, opt_state, loss, gnorm
-
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._train_step = jax.jit(
+            make_train_step(fwd, loss_fn, self.optimizer, return_grad_norm=True),
+            donate_argnums=(0, 1),
+        )
         self._mesh = None
 
     def init_state(self, params):
@@ -160,21 +163,25 @@ class Trainer:
                 break
             if cfg.profile_steps and step == cfg.profile_steps[0]:
                 jax.profiler.start_trace(cfg.profile_dir)
+            if cfg.profile_steps and step == cfg.profile_steps[1]:
+                jax.profiler.stop_trace()
             batch = self._place_batch(batch)
             params, opt_state, loss, gnorm = self._train_step(
                 params, opt_state, *batch
             )
-            loss_val = float(loss)
-            if cfg.skip_non_finite and not np.isfinite(loss_val):
-                # apply_if_finite already dropped the update inside the step
-                logger.warning("step %d: non-finite loss %s — update skipped", step, loss_val)
+            # No per-step host sync: loss stays on device (async dispatch
+            # keeps host batch prep overlapped); apply_if_finite already
+            # drops non-finite updates in-graph. Sync only when logging.
             step += 1
             window_steps += 1
 
-            if cfg.profile_steps and step == cfg.profile_steps[1]:
-                jax.profiler.stop_trace()
-
             if step % cfg.log_every == 0:
+                loss_val = float(loss)
+                if cfg.skip_non_finite and not np.isfinite(loss_val):
+                    logger.warning(
+                        "step %d: non-finite loss %s — update was skipped in-graph",
+                        step, loss_val,
+                    )
                 dt = time.perf_counter() - window_start
                 metrics = {
                     "loss": loss_val,
