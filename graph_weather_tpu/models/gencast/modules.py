@@ -77,9 +77,9 @@ class InteractionNetwork(nn.Module):
             name="GenCastMLP_0",
         )(
             [
-                (x_src, graph.senders),
-                (x_dst, graph.receivers),
-                (edge_attr, None),
+                (x_src, graph.senders, x_src.shape[-1]),
+                (x_dst, graph.receivers, x_dst.shape[-1]),
+                (edge_attr, None, edge_attr.shape[-1]),
             ]
         )
         msg = msg * self.scale_factor

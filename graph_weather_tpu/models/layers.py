@@ -177,6 +177,8 @@ class Decoder(nn.Module):
         )(m2g.edge_attr)
         edge_feats = jnp.broadcast_to(edge_feats, (batch,) + edge_feats.shape)
 
+        # Grid seeds are zeros -> dst_is_zero skips their contributions
+        # exactly (no [E, H] receiver gather on the largest graph).
         x_grid = jnp.zeros((batch, n_grid, self.node_dim), dtype=x_mesh.dtype)
         x_grid, _ = GraphProcessorBlock(
             self.node_dim,
@@ -186,6 +188,7 @@ class Decoder(nn.Module):
             self.hidden_layers_processor_node,
             self.hidden_layers_processor_edge,
             self.norm_type,
+            dst_is_zero=True,
         )(x_mesh, x_grid, edge_feats, m2g)
 
         out = MLP(

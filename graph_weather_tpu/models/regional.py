@@ -200,6 +200,7 @@ class RegionalModule(nn.Module):
             self.hidden_layers_processor_node,
             self.hidden_layers_processor_edge,
             self.norm_type,
+            dst_is_zero=True,
         )(x_cells, x_out, dec_edge, dec)
 
         out = MLP(

@@ -95,6 +95,7 @@ class EdgeBlock(nn.Module):
     hidden_dim: int = 128
     hidden_layers: int = 2
     norm_type: Optional[str] = "LayerNorm"
+    dst_is_zero: bool = False
 
     @nn.compact
     def __call__(
@@ -104,10 +105,20 @@ class EdgeBlock(nn.Module):
         edge_feats: jnp.ndarray,
         graph: DeviceGraph,
     ) -> jnp.ndarray:
-        out = _FactorizedEdgeMLP(
+        out = _FactorizedPartsMLP(
             self.edge_dim, self.hidden_dim, self.hidden_layers, self.norm_type,
             name="MLP_0",
-        )(x_src, x_dst, edge_feats, graph)
+        )(
+            [
+                (x_src, graph.senders, x_src.shape[-1]),
+                (
+                    None if self.dst_is_zero else x_dst,
+                    graph.receivers,
+                    x_dst.shape[-1],
+                ),
+                (edge_feats, None, edge_feats.shape[-1]),
+            ]
+        )
         return out + edge_feats
 
 
@@ -124,12 +135,18 @@ class _GatherSumLinear(nn.Module):
 
     @nn.compact
     def __call__(self, parts) -> jnp.ndarray:
-        """parts: sequence of (tensor, gather_index_or_None)."""
+        """parts: sequence of (tensor_or_None, gather_index_or_None, width).
+
+        A None tensor skips its slice of the kernel entirely — exact when
+        that input is known to be all-zeros (e.g. the decoder's grid seed
+        nodes) — while the parameter layout stays that of the full
+        concatenation.
+        """
         import jax
 
         from graph_weather_tpu.nn.mlp import torch_linear_kernel_init
 
-        fan_in = sum(p.shape[-1] for p, _ in parts)
+        fan_in = sum(width for _, _, width in parts)
         kernel = self.param(
             "kernel", torch_linear_kernel_init, (fan_in, self.features), jnp.float32
         )
@@ -142,9 +159,12 @@ class _GatherSumLinear(nn.Module):
 
         y = None
         offset = 0
-        for tensor, idx in parts:
-            w = jax.lax.slice_in_dim(kernel, offset, offset + tensor.shape[-1], axis=0)
-            offset += tensor.shape[-1]
+        for tensor, idx, width in parts:
+            if tensor is None:
+                offset += width
+                continue
+            w = jax.lax.slice_in_dim(kernel, offset, offset + width, axis=0)
+            offset += width
             t = tensor @ w.astype(tensor.dtype)
             if idx is not None:
                 t = jnp.take(t, idx, axis=-2)
@@ -152,8 +172,22 @@ class _GatherSumLinear(nn.Module):
         return y + bias.astype(y.dtype)
 
 
-class _FactorizedEdgeMLP(nn.Module):
-    """MLP over [src, dst, e] with the factorized first layer.
+def _norm_module(norm_type):
+    if norm_type == "LayerNorm":
+        return nn.LayerNorm(epsilon=1e-5, name="LayerNorm_0")
+    if norm_type == "RMSNorm":
+        return nn.RMSNorm(epsilon=1e-5, name="RMSNorm_0")
+    if norm_type == "GraphNorm":
+        from graph_weather_tpu.nn.mlp import _GraphNorm
+
+        return _GraphNorm(name="_GraphNorm_0")
+    if norm_type in (None, "none"):
+        return None
+    raise ValueError(f"Unsupported norm_type: {norm_type}")
+
+
+class _FactorizedPartsMLP(nn.Module):
+    """MLP over virtually-concatenated parts via _GatherSumLinear.
 
     Parameter tree is identical to `MLP` (TorchLinear_0..k + norm), so
     checkpoints are interchangeable with the naive concatenation form.
@@ -165,61 +199,58 @@ class _FactorizedEdgeMLP(nn.Module):
     norm_type: Optional[str]
 
     @nn.compact
-    def __call__(
-        self,
-        x_src: jnp.ndarray,
-        x_dst: jnp.ndarray,
-        edge_feats: jnp.ndarray,
-        graph: DeviceGraph,
-    ) -> jnp.ndarray:
+    def __call__(self, parts) -> jnp.ndarray:
         from graph_weather_tpu.nn.mlp import TorchLinear
 
-        h = _GatherSumLinear(self.hidden_dim, name="TorchLinear_0")(
-            [
-                (x_src, graph.senders),
-                (x_dst, graph.receivers),
-                (edge_feats, None),
-            ]
-        )
+        h = _GatherSumLinear(self.hidden_dim, name="TorchLinear_0")(parts)
         h = nn.relu(h)
         for i in range(1, self.hidden_layers):
             h = nn.relu(TorchLinear(self.hidden_dim, name=f"TorchLinear_{i}")(h))
         h = TorchLinear(self.out_dim, name=f"TorchLinear_{self.hidden_layers}")(h)
-        dtype_in = h.dtype
-        if self.norm_type == "LayerNorm":
-            h = nn.LayerNorm(epsilon=1e-5, name="LayerNorm_0")(h).astype(dtype_in)
-        elif self.norm_type == "RMSNorm":
-            h = nn.RMSNorm(epsilon=1e-5, name="RMSNorm_0")(h).astype(dtype_in)
-        elif self.norm_type == "GraphNorm":
-            from graph_weather_tpu.nn.mlp import _GraphNorm
-
-            h = _GraphNorm(name="_GraphNorm_0")(h)
-        elif self.norm_type not in (None, "none"):
-            raise ValueError(f"Unsupported norm_type: {self.norm_type}")
+        norm = _norm_module(self.norm_type)
+        if norm is not None:
+            h = norm(h).astype(h.dtype)
         return h
 
 
 class NodeBlock(nn.Module):
-    """x' = MLP([x, aggregate(e')]) + x."""
+    """x' = MLP([x, aggregate(e')]) + x.
+
+    Factorized first layer (concat never materializes); with dst_is_zero
+    the x contribution and the residual drop out exactly.
+    """
 
     node_dim: int
     hidden_dim: int = 128
     hidden_layers: int = 2
     norm_type: Optional[str] = "LayerNorm"
+    dst_is_zero: bool = False
 
     @nn.compact
     def __call__(
         self, x_dst: jnp.ndarray, edge_feats: jnp.ndarray, graph: DeviceGraph
     ) -> jnp.ndarray:
         agg = graph.aggregate(edge_feats)
-        out = MLP(
-            self.node_dim, self.hidden_dim, self.hidden_layers, self.norm_type
-        )(jnp.concatenate([x_dst, agg], axis=-1))
-        return out + x_dst
+        h = _FactorizedPartsMLP(
+            self.node_dim, self.hidden_dim, self.hidden_layers, self.norm_type,
+            name="MLP_0",
+        )(
+            [
+                (None if self.dst_is_zero else x_dst, None, x_dst.shape[-1]),
+                (agg, None, agg.shape[-1]),
+            ]
+        )
+        return h if self.dst_is_zero else h + x_dst
 
 
 class GraphProcessorBlock(nn.Module):
-    """One MetaLayer-equivalent round: edge update then node update."""
+    """One MetaLayer-equivalent round: edge update then node update.
+
+    dst_is_zero marks that x_dst is known to be all-zeros (e.g. the
+    decoder's grid seed nodes, reference assimilator_decoder.py:84): the
+    zero contributions are then skipped EXACTLY — same parameters, same
+    result, less gather/matmul traffic on the largest bipartite graph.
+    """
 
     node_dim: int
     edge_dim: int
@@ -228,6 +259,7 @@ class GraphProcessorBlock(nn.Module):
     hidden_layers_node: int = 2
     hidden_layers_edge: int = 2
     norm_type: Optional[str] = "LayerNorm"
+    dst_is_zero: bool = False
 
     @nn.compact
     def __call__(
@@ -238,10 +270,12 @@ class GraphProcessorBlock(nn.Module):
         graph: DeviceGraph,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         edge_feats = EdgeBlock(
-            self.edge_dim, self.hidden_dim_edge, self.hidden_layers_edge, self.norm_type
+            self.edge_dim, self.hidden_dim_edge, self.hidden_layers_edge,
+            self.norm_type, dst_is_zero=self.dst_is_zero,
         )(x_src, x_dst, edge_feats, graph)
         x_dst = NodeBlock(
-            self.node_dim, self.hidden_dim_node, self.hidden_layers_node, self.norm_type
+            self.node_dim, self.hidden_dim_node, self.hidden_layers_node,
+            self.norm_type, dst_is_zero=self.dst_is_zero,
         )(x_dst, edge_feats, graph)
         return x_dst, edge_feats
 

@@ -13,10 +13,16 @@ from graph_weather_tpu.parallel.sharding import (
     shard_params_fsdp,
     sharding_for_tree,
 )
+from graph_weather_tpu.parallel.halo import (
+    make_halo_processor,
+    partition_latent_graph,
+)
 from graph_weather_tpu.parallel.spatial import node_sharded_forward
 
 __all__ = [
+    "make_halo_processor",
     "make_mesh",
+    "partition_latent_graph",
     "node_sharded_forward",
     "shard_batch",
     "shard_params_fsdp",

@@ -90,3 +90,40 @@ def test_sharded_train_step_runs_and_matches_single_device():
         ),
         p_new, p_ref,
     )
+
+
+def test_halo_processor_matches_unsharded():
+    """Explicit shard_map halo exchange == unsharded Processor (fp32)."""
+    from graph_weather_tpu.meshes.graphs import build_latent_graph
+    from graph_weather_tpu.models.layers import Processor
+    from graph_weather_tpu.nn.graph_blocks import DeviceGraph
+    from graph_weather_tpu.parallel.halo import (
+        make_halo_processor,
+        partition_latent_graph,
+    )
+
+    bundle = build_latent_graph(resolution=1)
+    proc = Processor(
+        node_dim=16, edge_dim=16, num_blocks=2,
+        hidden_dim_processor_node=16, hidden_dim_processor_edge=16,
+    )
+    g = DeviceGraph.from_bundle(bundle)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, bundle.n_receivers, 16)), jnp.float32)
+    efull = jnp.asarray(rng.normal(size=(bundle.n_edges, 16)), jnp.float32)
+    params = proc.init(jax.random.PRNGKey(0), x, efull, g)
+    ref = proc.apply(params, x, efull, g)
+
+    mesh = make_mesh(8, data_axis=1)
+    part = partition_latent_graph(bundle, 8)
+    shard_of_edge = bundle.receivers // part.shard_size
+    ef = np.zeros((8, part.senders.shape[1], 16), np.float32)
+    for d in range(8):
+        sel = shard_of_edge == d
+        ef[d, : sel.sum()] = np.asarray(efull)[sel]
+    halo = make_halo_processor(
+        part, mesh, node_dim=16, edge_dim=16, num_blocks=2,
+        hidden_dim_node=16, hidden_dim_edge=16,
+    )
+    out = jax.jit(halo)(params["params"]["GraphProcessor_0"], x, jnp.asarray(ef))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
