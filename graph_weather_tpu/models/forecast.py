@@ -58,6 +58,7 @@ class ForecasterModule(nn.Module):
         g2m: DeviceGraph,
         latent: DeviceGraph,
         m2g: DeviceGraph,
+        cached: dict | None = None,
     ) -> jnp.ndarray:
         x_mesh, latent_edge_feats = Encoder(
             input_dim=self.input_dim,
@@ -69,7 +70,7 @@ class ForecasterModule(nn.Module):
             hidden_layers_processor_edge=self.hidden_layers_processor_edge,
             norm_type=self.norm_type,
             n_mesh=self.n_mesh,
-        )(features, g2m, latent)
+        )(features, g2m, latent, cached=cached)
         x_mesh = Processor(
             node_dim=self.node_dim,
             edge_dim=self.edge_dim,
@@ -92,7 +93,7 @@ class ForecasterModule(nn.Module):
             norm_type=self.norm_type,
             hidden_dim_decoder=self.hidden_dim_decoder,
             hidden_layers_decoder=self.hidden_layers_decoder,
-        )(x_mesh, m2g)
+        )(x_mesh, m2g, cached=cached)
         # Residual: predict the tendency, add the current state
         # (reference models/layers/decoder.py:92-94).
         return out + features[..., : self.output_dim]
@@ -246,6 +247,76 @@ class GraphWeatherForecaster:
                 )
                 features = features.astype(compute_dtype)
             out = module.apply(params, features, g2m, latent, m2g)
+            return out.astype(jnp.float32) if compute_dtype is not None else out
+
+        return fn
+
+    def precompute_static(self, params) -> dict:
+        """Encode the input-independent edge features once (inference mode).
+
+        The three edge-attribute MLPs (g2m, latent, m2g) depend only on the
+        static graphs and the parameters — for a fixed checkpoint their
+        outputs never change, so serving/rollout can skip them every step.
+        """
+        from graph_weather_tpu.models.layers import MLP as _MLP  # same class
+
+        mod = self.module
+        p = params["params"]
+        g2m_mlp = _MLP(
+            mod.edge_dim, mod.hidden_dim_processor_edge,
+            mod.hidden_layers_processor_edge, mod.norm_type,
+        )
+        latent_mlp = _MLP(
+            mod.edge_dim, mod.hidden_dim_processor_edge,
+            mod.hidden_layers_processor_edge, mod.norm_type,
+        )
+        m2g_mlp = _MLP(
+            mod.edge_dim, mod.hidden_dim_processor_edge, 2, mod.norm_type
+        )
+        return {
+            "g2m_edge_feats": g2m_mlp.apply(
+                {"params": p["Encoder_0"]["MLP_1"]}, self.g2m.edge_attr
+            ),
+            "latent_edge_feats": latent_mlp.apply(
+                {"params": p["Encoder_0"]["MLP_2"]}, self.latent.edge_attr
+            ),
+            "m2g_edge_feats": m2g_mlp.apply(
+                {"params": p["Decoder_0"]["MLP_0"]}, self.m2g.edge_attr
+            ),
+        }
+
+    def cached_forward_fn(self, compute_dtype=None):
+        """(params, cached, features) -> prediction, with the static edge
+        features passed as a TRACED argument (see precompute_static).
+
+        Passing `cached` as an argument (rather than closing over it) keeps
+        the multi-hundred-MB encoded edge tensors out of the compiled
+        program's constants. Typical serving/rollout pattern:
+
+            cached = model.precompute_static(params)
+            fwd = jax.jit(model.cached_forward_fn())
+            pred = fwd(params, cached, features)
+        """
+        g2m, latent, m2g = self.g2m, self.latent, self.m2g
+        if compute_dtype is not None:
+            g2m = g2m.replace(edge_attr=g2m.edge_attr.astype(compute_dtype))
+            latent = latent.replace(edge_attr=latent.edge_attr.astype(compute_dtype))
+            m2g = m2g.replace(edge_attr=m2g.edge_attr.astype(compute_dtype))
+        module = self.module
+
+        def fn(params, cached, features):
+            if compute_dtype is not None:
+                params = jax.tree_util.tree_map(
+                    lambda t: t.astype(compute_dtype)
+                    if jnp.issubdtype(t.dtype, jnp.floating)
+                    else t,
+                    params,
+                )
+                cached = {k: v.astype(compute_dtype) for k, v in cached.items()}
+                features = features.astype(compute_dtype)
+            out = module.apply(
+                params, features, g2m, latent, m2g, cached=cached
+            )
             return out.astype(jnp.float32) if compute_dtype is not None else out
 
         return fn

@@ -57,8 +57,10 @@ class Encoder(nn.Module):
         features: jnp.ndarray,  # [B, N_grid, input_dim]
         g2m: DeviceGraph,
         latent: DeviceGraph,
+        cached: dict | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         batch = features.shape[0]
+        cached = cached or {}
         mesh_seed = self.param(
             "mesh_nodes", nn.initializers.zeros, (self.n_mesh, self.input_dim), jnp.float32
         )
@@ -68,18 +70,25 @@ class Encoder(nn.Module):
             self.hidden_dim_processor_node,
             self.hidden_layers_processor_node,
             self.norm_type,
+            name="MLP_0",
         )
         x_grid = node_encoder(features)  # [B, N_grid, node_dim]
         x_mesh = jnp.broadcast_to(
             node_encoder(mesh_seed), (batch, self.n_mesh, self.node_dim)
         )
 
-        edge_feats = MLP(
-            self.edge_dim,
-            self.hidden_dim_processor_edge,
-            self.hidden_layers_processor_edge,
-            self.norm_type,
-        )(g2m.edge_attr)
+        # Edge features are input-independent: in inference mode they come
+        # precomputed per checkpoint (see GraphWeatherForecaster
+        # .precompute_static), skipping three [E, *] MLPs per step.
+        edge_feats = cached.get("g2m_edge_feats")
+        if edge_feats is None:
+            edge_feats = MLP(
+                self.edge_dim,
+                self.hidden_dim_processor_edge,
+                self.hidden_layers_processor_edge,
+                self.norm_type,
+                name="MLP_1",
+            )(g2m.edge_attr)
         edge_feats = jnp.broadcast_to(edge_feats, (batch,) + edge_feats.shape)
 
         x_mesh, _ = GraphProcessorBlock(
@@ -92,12 +101,15 @@ class Encoder(nn.Module):
             self.norm_type,
         )(x_grid, x_mesh, edge_feats, g2m)
 
-        latent_edge_feats = MLP(
-            self.edge_dim,
-            self.hidden_dim_processor_edge,
-            self.hidden_layers_processor_edge,
-            self.norm_type,
-        )(latent.edge_attr)
+        latent_edge_feats = cached.get("latent_edge_feats")
+        if latent_edge_feats is None:
+            latent_edge_feats = MLP(
+                self.edge_dim,
+                self.hidden_dim_processor_edge,
+                self.hidden_layers_processor_edge,
+                self.norm_type,
+                name="MLP_2",
+            )(latent.edge_attr)
         return x_mesh, latent_edge_feats
 
 
@@ -165,16 +177,21 @@ class Decoder(nn.Module):
         self,
         x_mesh: jnp.ndarray,  # [B, N_mesh, node_dim]
         m2g: DeviceGraph,
+        cached: dict | None = None,
     ) -> jnp.ndarray:
         batch = x_mesh.shape[0]
         n_grid = m2g.n_receivers
+        cached = cached or {}
 
-        edge_feats = MLP(
-            self.edge_dim,
-            self.hidden_dim_processor_edge,
-            2,
-            self.norm_type,
-        )(m2g.edge_attr)
+        edge_feats = cached.get("m2g_edge_feats")
+        if edge_feats is None:
+            edge_feats = MLP(
+                self.edge_dim,
+                self.hidden_dim_processor_edge,
+                2,
+                self.norm_type,
+                name="MLP_0",
+            )(m2g.edge_attr)
         edge_feats = jnp.broadcast_to(edge_feats, (batch,) + edge_feats.shape)
 
         # Grid seeds are zeros -> dst_is_zero skips their contributions
@@ -196,5 +213,6 @@ class Decoder(nn.Module):
             self.hidden_dim_decoder,
             self.hidden_layers_decoder,
             None,  # no norm on the physical-space output
+            name="MLP_1",
         )(x_grid)
         return out

@@ -147,3 +147,13 @@ def test_batch_consistency(small_model):
     for i in range(3):
         single = model.apply(params, feats[i : i + 1])
         np.testing.assert_allclose(batched[i], single[0], atol=2e-5)
+
+
+def test_inference_fn_matches_training_forward(small_model):
+    """Cached static-edge inference path == training forward exactly."""
+    model, params, lat_lons = small_model
+    feats = jax.random.normal(jax.random.PRNGKey(9), (1, len(lat_lons), 12))
+    ref = model.apply(params, feats)
+    cached = model.precompute_static(params)
+    out = jax.jit(model.cached_forward_fn())(params, cached, feats)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
