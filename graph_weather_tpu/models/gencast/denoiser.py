@@ -235,28 +235,48 @@ class Denoiser:
         noise = jnp.ones((batch_size, 1))
         return self._jit_init(rng, targets, prev, noise)
 
-    def forward_fn(self):
+    def forward_fn(self, compute_dtype=None):
+        """Pure forward; compute_dtype=bf16 runs the network in bf16
+        (params/inputs/static features cast; preconditioning and output in
+        f32)."""
         module = self.module
-        consts = (
+        consts = [
             self.grid_node_feats,
             self.mesh_node_feats,
             self.g2m,
             self.khop,
             self.m2g,
-        )
+        ]
+        if compute_dtype is not None:
+            consts[0] = consts[0].astype(compute_dtype)
+            consts[1] = consts[1].astype(compute_dtype)
+            for i in (2, 3, 4):
+                consts[i] = consts[i].replace(
+                    edge_attr=consts[i].edge_attr.astype(compute_dtype)
+                )
+        consts = tuple(consts)
         to_nodes, from_nodes = self._to_nodes, self._from_nodes
         check = self._check_shapes
 
         def fn(params, corrupted_targets, prev_inputs, noise_levels):
             check(corrupted_targets, prev_inputs, noise_levels)
+            if compute_dtype is not None:
+                params = jax.tree_util.tree_map(
+                    lambda t: t.astype(compute_dtype)
+                    if jnp.issubdtype(t.dtype, jnp.floating)
+                    else t,
+                    params,
+                )
+                corrupted_targets = corrupted_targets.astype(compute_dtype)
+                prev_inputs = prev_inputs.astype(compute_dtype)
             out = module.apply(
                 params,
                 to_nodes(corrupted_targets),
                 to_nodes(prev_inputs),
-                noise_levels,
+                noise_levels.astype(jnp.float32),
                 *consts,
             )
-            return from_nodes(out)
+            return from_nodes(out).astype(jnp.float32)
 
         return fn
 

@@ -118,6 +118,7 @@ def build_graphcast_graphs(
     num_hops: int = 0,
     add_edge_features_to_khop: bool = True,
     mesh2grid_edge_normalization_factor: float | None = None,
+    spatial_sort: bool = True,
 ) -> GraphCastGraphs:
     """Build g2m / mesh / m2g (/ k-hop) bundles for a lon-major grid.
 
@@ -126,10 +127,25 @@ def build_graphcast_graphs(
     np.meshgrid(grid_lon, grid_lat) reshape (graph_builder.py:164-166);
     note the DATA layout convention of GenCast models is [lon, lat] and is
     transposed accordingly in the model wrapper.
+
+    spatial_sort renumbers MESH vertices by (lat, lon): subdivision order
+    scatters spatial neighbors across the index space, so sorting makes the
+    k-hop attention's neighbor gathers near-contiguous (HBM locality).
+    Purely an internal relabeling — node features and all edge indices are
+    permuted consistently.
     """
     grid_lon = np.asarray(grid_lon, dtype=np.float64)
     grid_lat = np.asarray(grid_lat, dtype=np.float64)
     mesh = get_hierarchy_of_triangular_meshes_for_sphere(splits)[-1]
+    if spatial_sort:
+        from graph_weather_tpu.meshes.spherical import canonical_point_order
+
+        order = canonical_point_order(mesh.vertices)
+        inverse = np.empty_like(order)
+        inverse[order] = np.arange(order.shape[0])
+        mesh = TriangularMesh(
+            vertices=mesh.vertices[order], faces=inverse[mesh.faces]
+        )
     mesh_lat, mesh_lon = _mesh_latlon(mesh)
 
     lon_g, lat_g = np.meshgrid(grid_lon, grid_lat)

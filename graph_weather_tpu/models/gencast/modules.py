@@ -144,7 +144,7 @@ class ConditionalLayerNorm(nn.Module):
         scale = TorchLinear(self.features_dim)(cond)
         bias = TorchLinear(self.features_dim)(cond)
         x_norm = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False)(x)
-        return scale * x_norm + bias
+        return (scale * x_norm + bias).astype(x.dtype)
 
 
 class GraphTransformerConv(nn.Module):

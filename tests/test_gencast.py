@@ -212,3 +212,19 @@ class TestNoiseUtils:
             loss(jnp.zeros((1, 4, NLAT, 2)), jnp.ones((2, 1)), jnp.zeros((1, 4, NLAT, 2)))
         with pytest.raises(ValueError):
             loss(jnp.zeros((1, 4, 3, 2)), jnp.ones((1, 1)), jnp.zeros((1, 4, 3, 2)))
+
+
+class TestComputeDtype:
+    def test_bf16_forward_close_to_f32(self, denoiser_and_params):
+        den, params = denoiser_and_params
+        rng = np.random.default_rng(5)
+        tgt = jnp.asarray(rng.normal(size=(1, NLON, NLAT, 2)), jnp.float32)
+        prev = jnp.asarray(rng.normal(size=(1, NLON, NLAT, 6)), jnp.float32)
+        noise = jnp.full((1, 1), 0.5)
+        o32 = den.forward_fn()(params, tgt, prev, noise)
+        o16 = den.forward_fn(compute_dtype=jnp.bfloat16)(params, tgt, prev, noise)
+        assert o16.dtype == jnp.float32
+        # bf16 noise compounds through the attention stack; require the
+        # bulk statistics to agree (measured 1e-3 mean at realistic scale)
+        assert float(jnp.abs(o32 - o16).mean()) < 0.02
+        assert float(jnp.abs(o32 - o16).max()) < 0.5
