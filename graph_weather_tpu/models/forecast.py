@@ -251,12 +251,19 @@ class GraphWeatherForecaster:
 
         return fn
 
-    def precompute_static(self, params) -> dict:
+    def precompute_static(self, params, compute_dtype=None) -> dict:
         """Encode the input-independent edge features once (inference mode).
 
         The three edge-attribute MLPs (g2m, latent, m2g) depend only on the
         static graphs and the parameters — for a fixed checkpoint their
         outputs never change, so serving/rollout can skip them every step.
+        Pass the same compute_dtype as cached_forward_fn so the cached
+        tensors are stored (and read each step) at the serving precision.
+
+        NOTE: the parameter paths below are pinned by the explicit MLP
+        names in models/layers.py (Encoder MLP_1/MLP_2, Decoder MLP_0);
+        tests/test_forecaster.py::test_inference_fn_matches_training_forward
+        guards against desynchronization.
         """
         from graph_weather_tpu.models.layers import MLP as _MLP  # same class
 
@@ -283,6 +290,9 @@ class GraphWeatherForecaster:
             "m2g_edge_feats": m2g_mlp.apply(
                 {"params": p["Decoder_0"]["MLP_0"]}, self.m2g.edge_attr
             ),
+        } if compute_dtype is None else {
+            k: v.astype(compute_dtype)
+            for k, v in self.precompute_static(params).items()
         }
 
     def cached_forward_fn(self, compute_dtype=None):

@@ -80,15 +80,22 @@ class DenoiserModule(nn.Module):
     ) -> jnp.ndarray:
         precs = Preconditioner(sigma_data=1.0)
         batch = corrupted_targets.shape[0]
+        dtype = corrupted_targets.dtype
 
-        scaled_targets = precs.c_in(noise_levels)[:, :, None] * corrupted_targets
+        # Preconditioning factors are f32; cast them DOWN so a bf16 compute
+        # policy survives (f32 * bf16 would promote everything back to f32).
+        scaled_targets = (
+            precs.c_in(noise_levels)[:, :, None].astype(dtype) * corrupted_targets
+        )
         scaled_noise = precs.c_noise(noise_levels)
 
-        parts = [scaled_targets, prev_inputs]
+        parts = [scaled_targets, prev_inputs.astype(dtype)]
         if conditioning is not None:
-            parts.append(conditioning)
+            parts.append(conditioning.astype(dtype))
         parts.append(
-            jnp.broadcast_to(grid_node_feats, (batch,) + grid_node_feats.shape)
+            jnp.broadcast_to(
+                grid_node_feats.astype(dtype), (batch,) + grid_node_feats.shape
+            )
         )
         grid_feats = jnp.concatenate(parts, axis=-1)
 

@@ -79,6 +79,22 @@ def partition_latent_graph(bundle: GraphBundle, n_shards: int) -> PartitionedGra
     )
 
 
+def shard_edge_feats(
+    part: PartitionedGraph, bundle: GraphBundle, edge_feats
+) -> "jnp.ndarray":
+    """Rearrange [E, F] per-edge features into the partition's [D, E_shard, F]
+    layout (zeros on padding) — the companion of partition_latent_graph for
+    tensors aligned with the ORIGINAL edge order."""
+    edge_feats = np.asarray(edge_feats)
+    n_shards, e_shard = part.senders.shape
+    shard_of_edge = bundle.receivers // part.shard_size
+    out = np.zeros((n_shards, e_shard, edge_feats.shape[-1]), edge_feats.dtype)
+    for d in range(n_shards):
+        sel = shard_of_edge == d
+        out[d, : int(sel.sum())] = edge_feats[sel]
+    return jnp.asarray(out)
+
+
 def make_halo_processor(
     part: PartitionedGraph,
     mesh: Mesh,
@@ -98,12 +114,18 @@ def make_halo_processor(
     (params["params"]["GraphProcessor_0"]).
     x: [B, N, node_dim] node features (unsharded layout; constrained and
     padded internally).
-    edge_feats: [D, E_shard, edge_dim] per-shard ENCODED edge features
-    (encode part.edge_attr with the latent edge MLP, then split like the
-    partition — see shard_edge_feats).
+    edge_feats: [D, E_shard, edge_dim] per-shard ENCODED edge features —
+    encode the bundle's edge_attr with the latent edge MLP, then rearrange
+    with `shard_edge_feats(part, bundle, encoded)`.
     """
     from graph_weather_tpu.nn.graph_blocks import DeviceGraph, GraphProcessorBlock
 
+    if norm_type == "GraphNorm":
+        raise ValueError(
+            "GraphNorm normalizes over the node/edge axis and would be "
+            "computed per-shard here, diverging from the unsharded result; "
+            "use LayerNorm/RMSNorm/None."
+        )
     n_shards = mesh.shape[axis]
     if part.senders.shape[0] != n_shards:
         raise ValueError(

@@ -48,7 +48,7 @@ def make_rollout_fn(
 
 
 def jit_rollout(forward_fn, num_steps: int, **kwargs):
-    """Jitted rollout with donated input state."""
-    return jax.jit(
-        make_rollout_fn(forward_fn, num_steps, **kwargs), donate_argnums=(1,)
-    )
+    """Jitted rollout. (The input is NOT donated: neither output shape can
+    alias the [B, N, out+aux] state, so donation would only invalidate the
+    caller's array.)"""
+    return jax.jit(make_rollout_fn(forward_fn, num_steps, **kwargs))

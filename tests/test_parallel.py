@@ -100,6 +100,7 @@ def test_halo_processor_matches_unsharded():
     from graph_weather_tpu.parallel.halo import (
         make_halo_processor,
         partition_latent_graph,
+        shard_edge_feats,
     )
 
     bundle = build_latent_graph(resolution=1)
@@ -116,14 +117,10 @@ def test_halo_processor_matches_unsharded():
 
     mesh = make_mesh(8, data_axis=1)
     part = partition_latent_graph(bundle, 8)
-    shard_of_edge = bundle.receivers // part.shard_size
-    ef = np.zeros((8, part.senders.shape[1], 16), np.float32)
-    for d in range(8):
-        sel = shard_of_edge == d
-        ef[d, : sel.sum()] = np.asarray(efull)[sel]
+    ef = shard_edge_feats(part, bundle, np.asarray(efull))
     halo = make_halo_processor(
         part, mesh, node_dim=16, edge_dim=16, num_blocks=2,
         hidden_dim_node=16, hidden_dim_edge=16,
     )
-    out = jax.jit(halo)(params["params"]["GraphProcessor_0"], x, jnp.asarray(ef))
+    out = jax.jit(halo)(params["params"]["GraphProcessor_0"], x, ef)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

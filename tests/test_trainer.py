@@ -86,3 +86,21 @@ def test_scan_rollout_matches_python_loop(setup):
         state = jnp.concatenate([o, state[..., 4:]], axis=-1)
     ref = jnp.stack(outs)
     np.testing.assert_allclose(np.asarray(traj), np.asarray(ref), atol=1e-5)
+
+
+def test_save_load_params_roundtrip(setup, tmp_path):
+    """Mirror of the reference's save/load round-trip tests."""
+    from graph_weather_tpu.train import load_params, save_params
+
+    model, params, _, x, _ = setup
+    path = str(tmp_path / "weights.msgpack")
+    save_params(path, params)
+    fresh = model.init(jax.random.PRNGKey(42))  # different init
+    restored = load_params(path, fresh)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, restored,
+    )
+    out1 = model.apply(params, jnp.asarray(x))
+    out2 = model.apply(restored, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
