@@ -140,6 +140,7 @@ class DenoiserConfig:
     use_edges_features: bool = True
     scale_factor: float = 1.0
     remat: bool = False
+    attention_impl: str = "segment"
 
     def build(self) -> "Denoiser":
         return Denoiser(
@@ -155,6 +156,7 @@ class DenoiserConfig:
             use_edges_features=self.use_edges_features,
             scale_factor=self.scale_factor,
             remat=self.remat,
+            attention_impl=self.attention_impl,
         )
 
 
@@ -178,7 +180,16 @@ class Denoiser:
         use_edges_features: bool = True,
         scale_factor: float = 1.0,
         remat: bool = False,
+        attention_impl: str = "segment",
     ):
+        if attention_impl not in ("segment", "banded"):
+            raise ValueError(f"unknown attention_impl {attention_impl!r}")
+        if attention_impl == "banded" and use_edges_features:
+            raise ValueError(
+                "attention_impl='banded' requires use_edges_features=False "
+                "(matching the reference's sparse attention mode, which also "
+                "drops edge features; sparse_transformer.py)"
+            )
         self.num_lon = len(grid_lon)
         self.num_lat = len(grid_lat)
         self.input_features_dim = input_features_dim
@@ -193,7 +204,9 @@ class Denoiser:
         )
         self.graphs = graphs
         self.g2m = DeviceGraph.from_bundle(graphs.g2m)
-        self.khop = DeviceGraph.from_bundle(graphs.khop)
+        self.khop = DeviceGraph.from_bundle(
+            graphs.khop, banded=(attention_impl == "banded")
+        )
         self.m2g = DeviceGraph.from_bundle(graphs.m2g)
         self.grid_node_feats = jnp.asarray(graphs.grid_node_feats)
         self.mesh_node_feats = jnp.asarray(graphs.mesh_node_feats)

@@ -174,6 +174,26 @@ class GraphTransformerConv(nn.Module):
         k = TorchLinear(h * c)(x)
         v = TorchLinear(h * c)(x)
 
+        if graph.band_masks is not None and (
+            not self.use_edge_features or edge_attr is None
+        ):
+            # Banded dense path: no gathers, MXU matmuls with adjacency
+            # masks (numerically identical to segment softmax; see
+            # ops/banded_attention.py).
+            from graph_weather_tpu.ops.banded_attention import (
+                banded_graph_attention,
+            )
+
+            def heads4(t):
+                return t.reshape(t.shape[:-1] + (h, c))
+
+            out = banded_graph_attention(
+                heads4(q), heads4(k), heads4(v),
+                graph.band_masks, graph.band_block, graph.band_w,
+            )
+            out = out.reshape(out.shape[:-2] + (h * c,))
+            return self._combine(x, out, h, c)
+
         q_e = jnp.take(q, graph.receivers, axis=-2)
         k_e = jnp.take(k, graph.senders, axis=-2)
         v_e = jnp.take(v, graph.senders, axis=-2)
@@ -190,10 +210,14 @@ class GraphTransformerConv(nn.Module):
         msg = heads(v_e) * alpha[..., None]  # [..., E, H, C]
         msg = msg.reshape(msg.shape[:-2] + (h * c,))
         out = graph.aggregate(msg)  # [..., N, H*C]
+        return self._combine(x, out, h, c)
 
+    def _combine(self, x, out, h, c):
+        # Helper invoked from the compact __call__; module creation order
+        # here is identical on both attention paths, so parameter trees
+        # (and thus checkpoints) are interchangeable between them.
         if not self.concat:
             out = out.reshape(out.shape[:-1] + (h, c)).mean(-2)
-
         final_dim = h * c if self.concat else c
         skip = TorchLinear(final_dim)(x)
         if self.beta:

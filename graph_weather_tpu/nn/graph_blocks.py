@@ -41,18 +41,31 @@ _CSR_MAX_DEGREE = 16
 
 @flax.struct.dataclass
 class DeviceGraph:
-    """A static graph resident on device. Node counts are trace-time static."""
+    """A static graph resident on device. Node counts are trace-time static.
+
+    band_* fields (optional) carry the banded-attention layout for
+    spatially-sorted homogeneous graphs (see ops/banded_attention.py).
+    """
 
     senders: jnp.ndarray  # [E] int32
     receivers: jnp.ndarray  # [E] int32, non-decreasing
     edge_attr: jnp.ndarray  # [E, D] float32 precomputed features
     csr_edge_ids: Optional[jnp.ndarray]  # [N_dst, K] or None
     csr_mask: Optional[jnp.ndarray]  # [N_dst, K] or None
+    band_masks: Optional[jnp.ndarray] = None  # [nb, block, block+2w] or None
     n_senders: int = flax.struct.field(pytree_node=False, default=0)
     n_receivers: int = flax.struct.field(pytree_node=False, default=0)
+    band_block: int = flax.struct.field(pytree_node=False, default=0)
+    band_w: int = flax.struct.field(pytree_node=False, default=0)
 
     @classmethod
-    def from_bundle(cls, bundle: GraphBundle, use_csr: Optional[bool] = None) -> "DeviceGraph":
+    def from_bundle(
+        cls,
+        bundle: GraphBundle,
+        use_csr: Optional[bool] = None,
+        banded: bool = False,
+        band_block: int = 512,
+    ) -> "DeviceGraph":
         if use_csr is None:
             counts = np.bincount(bundle.receivers, minlength=bundle.n_receivers)
             use_csr = counts.size > 0 and counts.max() <= _CSR_MAX_DEGREE
@@ -61,6 +74,24 @@ class DeviceGraph:
             ids, mask = build_padded_csr(bundle.receivers, bundle.n_receivers)
             csr_ids = jnp.asarray(ids)
             csr_mask = jnp.asarray(mask)
+        band_masks = None
+        band_w = 0
+        if banded:
+            from graph_weather_tpu.ops.banded_attention import build_band_masks
+
+            span = int(
+                np.abs(
+                    bundle.senders.astype(np.int64)
+                    - bundle.receivers.astype(np.int64)
+                ).max()
+            )
+            band_w = -(-span // 128) * 128  # round up to lane multiple
+            band_masks = jnp.asarray(
+                build_band_masks(
+                    bundle.senders, bundle.receivers, bundle.n_receivers,
+                    block=band_block, w=band_w,
+                )
+            )
         senders, receivers, edge_attr = bundle.device_arrays()
         return cls(
             senders=senders,
@@ -68,8 +99,11 @@ class DeviceGraph:
             edge_attr=edge_attr,
             csr_edge_ids=csr_ids,
             csr_mask=csr_mask,
+            band_masks=band_masks,
             n_senders=bundle.n_senders,
             n_receivers=bundle.n_receivers,
+            band_block=band_block if banded else 0,
+            band_w=band_w,
         )
 
     def aggregate(self, edge_feats: jnp.ndarray) -> jnp.ndarray:

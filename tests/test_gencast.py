@@ -127,6 +127,101 @@ class TestAttentionEquivalence:
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(dense), atol=1e-5)
 
 
+class TestBandedAttention:
+    """Banded dense attention (ops/banded_attention.py) vs segment softmax."""
+
+    def _random_banded_graph(self, rng, n=300, w=64, deg=6):
+        senders, receivers = [], []
+        for r in range(n):
+            s = rng.integers(max(0, r - w), min(n, r + w + 1), size=deg)
+            senders.extend(s.tolist())
+            receivers.extend([r] * deg)
+        pairs = np.unique(
+            np.stack([np.asarray(receivers), np.asarray(senders)], 1), axis=0
+        )  # dedupe: masks collapse parallel edges (khop graphs have none)
+        return pairs[:, 1].astype(np.int32), pairs[:, 0].astype(np.int32)
+
+    def test_matches_segment_softmax(self):
+        from graph_weather_tpu.ops.banded_attention import (
+            banded_graph_attention,
+            build_band_masks,
+        )
+        from graph_weather_tpu.ops.segment_softmax import segment_softmax
+
+        rng = np.random.default_rng(0)
+        n, h, c, block, w = 300, 2, 8, 128, 64
+        senders, receivers = self._random_banded_graph(rng, n=n, w=w)
+        masks = jnp.asarray(build_band_masks(senders, receivers, n, block, w))
+
+        q = jnp.asarray(rng.standard_normal((n, h, c)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((n, h, c)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((n, h, c)), jnp.float32)
+
+        out_band = banded_graph_attention(q, k, v, masks, block, w)
+
+        s_ids, r_ids = jnp.asarray(senders), jnp.asarray(receivers)
+        logits = jnp.einsum(
+            "ehc,ehc->eh", q[r_ids], k[s_ids]
+        ) / np.sqrt(c)
+        alpha = segment_softmax(logits, r_ids, n)
+        msg = v[s_ids] * alpha[..., None]
+        out_seg = jax.ops.segment_sum(
+            msg.reshape(len(senders), h * c), r_ids, num_segments=n
+        ).reshape(n, h, c)
+        np.testing.assert_allclose(out_band, out_seg, atol=2e-5)
+
+    def test_empty_receiver_rows_are_zero(self):
+        from graph_weather_tpu.ops.banded_attention import (
+            banded_graph_attention,
+            build_band_masks,
+        )
+
+        senders = np.array([0, 1], np.int32)
+        receivers = np.array([0, 0], np.int32)  # rows 1+ have no edges
+        masks = jnp.asarray(build_band_masks(senders, receivers, 8, 8, 8))
+        q = jnp.ones((8, 1, 4))
+        out = banded_graph_attention(q, q, q, masks, 8, 8)
+        assert jnp.all(out[1:] == 0.0)
+        assert jnp.all(jnp.isfinite(out))
+
+    def test_span_violation_raises(self):
+        from graph_weather_tpu.ops.banded_attention import build_band_masks
+
+        with pytest.raises(ValueError, match="span"):
+            build_band_masks(
+                np.array([0], np.int32), np.array([200], np.int32), 256, 64, 64
+            )
+
+    def test_denoiser_banded_matches_segment(self):
+        grid_lon, grid_lat = _grids()
+        kw = dict(
+            grid_lon=grid_lon, grid_lat=grid_lat, input_features_dim=3,
+            output_features_dim=2, hidden_dims=(16, 16), num_blocks=2,
+            num_heads=2, splits=2, num_hops=3, use_edges_features=False,
+        )
+        d_seg = Denoiser(**kw)
+        d_band = Denoiser(**kw, attention_impl="banded")
+        assert d_band.khop.band_masks is not None
+
+        params = d_seg.init(jax.random.PRNGKey(0))
+        tgt = jax.random.normal(jax.random.PRNGKey(1), (1, NLON, NLAT, 2))
+        prev = jax.random.normal(jax.random.PRNGKey(2), (1, NLON, NLAT, 6))
+        sig = jnp.full((1, 1), 0.5)
+        o_seg = d_seg.forward_fn()(params, tgt, prev, sig)
+        o_band = d_band.forward_fn()(params, tgt, prev, sig)
+        # f32 reduction-order noise through preconditioning; same numerics.
+        np.testing.assert_allclose(o_seg, o_band, atol=1e-3)
+
+    def test_banded_requires_no_edge_features(self):
+        grid_lon, grid_lat = _grids()
+        with pytest.raises(ValueError, match="use_edges_features"):
+            Denoiser(
+                grid_lon, grid_lat, input_features_dim=3,
+                output_features_dim=2, splits=2, num_hops=2,
+                use_edges_features=True, attention_impl="banded",
+            )
+
+
 class TestDenoiser:
     def test_forward_shape_and_finite(self, denoiser_and_params):
         den, params = denoiser_and_params
