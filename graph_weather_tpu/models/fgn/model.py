@@ -149,6 +149,7 @@ class FunctionalGenerativeNetworkConfig:
     use_edges_features: bool = True
     scale_factor: float = 1.0
     remat: bool = False
+    attention_impl: str = "segment"
 
     def build(self) -> "FunctionalGenerativeNetwork":
         return FunctionalGenerativeNetwork(
@@ -165,6 +166,7 @@ class FunctionalGenerativeNetworkConfig:
             use_edges_features=self.use_edges_features,
             scale_factor=self.scale_factor,
             remat=self.remat,
+            attention_impl=self.attention_impl,
         )
 
 
@@ -186,7 +188,16 @@ class FunctionalGenerativeNetwork:
         use_edges_features: bool = True,
         scale_factor: float = 1.0,
         remat: bool = False,
+        attention_impl: str = "segment",
     ):
+        if attention_impl not in ("segment", "banded"):
+            raise ValueError(f"unknown attention_impl {attention_impl!r}")
+        if attention_impl == "banded" and use_edges_features:
+            raise ValueError(
+                "attention_impl='banded' requires use_edges_features=False "
+                "(banded attention carries no per-edge features; see "
+                "ops/banded_attention.py)"
+            )
         self.num_lon = len(grid_lon)
         self.num_lat = len(grid_lat)
         self.input_features_dim = input_features_dim
@@ -202,7 +213,9 @@ class FunctionalGenerativeNetwork:
         )
         self.graphs = graphs
         self.g2m = DeviceGraph.from_bundle(graphs.g2m)
-        self.khop = DeviceGraph.from_bundle(graphs.khop)
+        self.khop = DeviceGraph.from_bundle(
+            graphs.khop, banded=(attention_impl == "banded")
+        )
         self.m2g = DeviceGraph.from_bundle(graphs.m2g)
         self.grid_node_feats = jnp.asarray(graphs.grid_node_feats)
         self.mesh_node_feats = jnp.asarray(graphs.mesh_node_feats)

@@ -45,6 +45,35 @@ class TestFGN:
         out = model(params, state, num_ensemble=2, key=jax.random.PRNGKey(2))
         assert not np.allclose(np.asarray(out[:, 0]), np.asarray(out[:, 1]))
 
+    def test_banded_attention_matches_segment(self):
+        grid_lon, grid_lat = _grids()
+        kw = dict(
+            grid_lon=grid_lon, grid_lat=grid_lat, input_features_dim=2,
+            output_features_dim=1, noise_dimension=3, hidden_dims=(8, 8),
+            num_blocks=2, num_heads=2, splits=2, num_hops=3,
+            use_edges_features=False,
+        )
+        m_seg = FunctionalGenerativeNetwork(**kw)
+        m_band = FunctionalGenerativeNetwork(**kw, attention_impl="banded")
+        assert m_band.khop.band_masks is not None
+        params = m_seg.init(jax.random.PRNGKey(0))
+        state = jnp.asarray(
+            np.random.default_rng(3).normal(size=(1, NLON, NLAT, 2)),
+            jnp.float32,
+        )
+        o_seg = m_seg(params, state, num_ensemble=2, key=jax.random.PRNGKey(4))
+        o_band = m_band(params, state, num_ensemble=2, key=jax.random.PRNGKey(4))
+        np.testing.assert_allclose(o_seg, o_band, atol=1e-3)
+
+    def test_banded_requires_no_edge_features(self):
+        grid_lon, grid_lat = _grids()
+        with pytest.raises(ValueError, match="use_edges_features"):
+            FunctionalGenerativeNetwork(
+                grid_lon, grid_lat, input_features_dim=2,
+                output_features_dim=1, noise_dimension=3, splits=2,
+                num_hops=2, attention_impl="banded",
+            )
+
     def test_config_build(self):
         grid_lon, grid_lat = _grids()
         cfg = FunctionalGenerativeNetworkConfig(
