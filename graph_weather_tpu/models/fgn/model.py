@@ -190,11 +190,12 @@ class FunctionalGenerativeNetwork:
         remat: bool = False,
         attention_impl: str = "segment",
     ):
-        if attention_impl not in ("segment", "banded"):
+        if attention_impl not in ("segment", "banded", "banded_flash"):
             raise ValueError(f"unknown attention_impl {attention_impl!r}")
-        if attention_impl == "banded" and use_edges_features:
+        if attention_impl.startswith("banded") and use_edges_features:
             raise ValueError(
-                "attention_impl='banded' requires use_edges_features=False "
+                f"attention_impl={attention_impl!r} requires use_edges_features="
+                "False "
                 "(banded attention carries no per-edge features; see "
                 "ops/banded_attention.py)"
             )
@@ -214,7 +215,9 @@ class FunctionalGenerativeNetwork:
         self.graphs = graphs
         self.g2m = DeviceGraph.from_bundle(graphs.g2m)
         self.khop = DeviceGraph.from_bundle(
-            graphs.khop, banded=(attention_impl == "banded")
+            graphs.khop,
+            banded=attention_impl.startswith("banded"),
+            band_flash=(attention_impl == "banded_flash"),
         )
         self.m2g = DeviceGraph.from_bundle(graphs.m2g)
         self.grid_node_feats = jnp.asarray(graphs.grid_node_feats)

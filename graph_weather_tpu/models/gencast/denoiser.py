@@ -182,11 +182,12 @@ class Denoiser:
         remat: bool = False,
         attention_impl: str = "segment",
     ):
-        if attention_impl not in ("segment", "banded"):
+        if attention_impl not in ("segment", "banded", "banded_flash"):
             raise ValueError(f"unknown attention_impl {attention_impl!r}")
-        if attention_impl == "banded" and use_edges_features:
+        if attention_impl.startswith("banded") and use_edges_features:
             raise ValueError(
-                "attention_impl='banded' requires use_edges_features=False "
+                f"attention_impl={attention_impl!r} requires use_edges_features="
+                "False "
                 "(matching the reference's sparse attention mode, which also "
                 "drops edge features; sparse_transformer.py)"
             )
@@ -205,7 +206,9 @@ class Denoiser:
         self.graphs = graphs
         self.g2m = DeviceGraph.from_bundle(graphs.g2m)
         self.khop = DeviceGraph.from_bundle(
-            graphs.khop, banded=(attention_impl == "banded")
+            graphs.khop,
+            banded=attention_impl.startswith("banded"),
+            band_flash=(attention_impl == "banded_flash"),
         )
         self.m2g = DeviceGraph.from_bundle(graphs.m2g)
         self.grid_node_feats = jnp.asarray(graphs.grid_node_feats)
@@ -321,7 +324,7 @@ class Denoiser:
                 f"{tuple(corrupted_targets.shape)}, {tuple(noise_levels.shape)}."
             )
         if not isinstance(noise_levels, jax.core.Tracer):
-            if not bool(jnp.all(noise_levels > 0)):
+            if not bool(np.all(np.asarray(noise_levels) > 0)):
                 raise ValueError("All the noise levels must be strictly positive.")
 
     def apply(self, params, corrupted_targets, prev_inputs, noise_levels):
@@ -329,7 +332,7 @@ class Denoiser:
         # Concrete-value check must happen before entering jit (inside the
         # trace noise_levels is a tracer and sigma <= 0 would silently NaN).
         if not isinstance(noise_levels, jax.core.Tracer):
-            if not bool(jnp.all(jnp.asarray(noise_levels) > 0)):
+            if not bool(np.all(np.asarray(noise_levels) > 0)):
                 raise ValueError("All the noise levels must be strictly positive.")
         if self._jit_apply is None:
             self._jit_apply = jax.jit(self.forward_fn())

@@ -17,9 +17,11 @@ All modules are batch-aware over [..., N, F] with shared static graphs.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from graph_weather_tpu.nn.graph_blocks import DeviceGraph
@@ -187,10 +189,29 @@ class GraphTransformerConv(nn.Module):
             def heads4(t):
                 return t.reshape(t.shape[:-1] + (h, c))
 
-            out = banded_graph_attention(
-                heads4(q), heads4(k), heads4(v),
-                graph.band_masks, graph.band_block, graph.band_w,
-            )
+            if graph.band_flash:
+                from graph_weather_tpu.ops.pallas.banded_flash import (
+                    banded_flash_attention,
+                )
+
+                fl = functools.partial(
+                    banded_flash_attention,
+                    band_masks=graph.band_masks,
+                    block=graph.band_block,
+                    w=graph.band_w,
+                    # Tests run on the CPU backend where Mosaic can't
+                    # lower; fall back to the Pallas interpreter there.
+                    interpret=jax.default_backend() == "cpu",
+                )
+                q4, k4, v4 = heads4(q), heads4(k), heads4(v)
+                for _ in range(q4.ndim - 3):
+                    fl = jax.vmap(fl)
+                out = fl(q4, k4, v4)
+            else:
+                out = banded_graph_attention(
+                    heads4(q), heads4(k), heads4(v),
+                    graph.band_masks, graph.band_block, graph.band_w,
+                )
             out = out.reshape(out.shape[:-2] + (h * c,))
             return self._combine(x, out, h, c)
 

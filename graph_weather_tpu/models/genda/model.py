@@ -188,7 +188,7 @@ class GenDA(Denoiser):
         genda/model.py:394-401).
         """
         if not isinstance(noise_levels, jax.core.Tracer):
-            if not bool(jnp.all(jnp.asarray(noise_levels) > 0)):
+            if not bool(np.all(np.asarray(noise_levels) > 0)):
                 raise ValueError("All the noise levels must be strictly positive.")
         self._check_sensor_shapes(
             sensor_mask, sensor_values, prev_inputs.shape[0]

@@ -57,6 +57,7 @@ class DeviceGraph:
     n_receivers: int = flax.struct.field(pytree_node=False, default=0)
     band_block: int = flax.struct.field(pytree_node=False, default=0)
     band_w: int = flax.struct.field(pytree_node=False, default=0)
+    band_flash: bool = flax.struct.field(pytree_node=False, default=False)
 
     @classmethod
     def from_bundle(
@@ -65,6 +66,7 @@ class DeviceGraph:
         use_csr: Optional[bool] = None,
         banded: bool = False,
         band_block: int = 512,
+        band_flash: bool = False,
     ) -> "DeviceGraph":
         if use_csr is None:
             counts = np.bincount(bundle.receivers, minlength=bundle.n_receivers)
@@ -85,7 +87,9 @@ class DeviceGraph:
                     - bundle.receivers.astype(np.int64)
                 ).max()
             )
-            band_w = -(-span // 128) * 128  # round up to lane multiple
+            # Round up so the flash kernel's key tiling divides the window
+            # (2w % 512 == 0); also a lane multiple for the XLA path.
+            band_w = -(-span // 256) * 256
             band_masks = jnp.asarray(
                 build_band_masks(
                     bundle.senders, bundle.receivers, bundle.n_receivers,
@@ -104,6 +108,7 @@ class DeviceGraph:
             n_receivers=bundle.n_receivers,
             band_block=band_block if banded else 0,
             band_w=band_w,
+            band_flash=banded and band_flash,
         )
 
     def aggregate(self, edge_feats: jnp.ndarray) -> jnp.ndarray:

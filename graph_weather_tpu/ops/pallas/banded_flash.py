@@ -1,0 +1,170 @@
+"""Flash-style Pallas kernel for banded graph attention.
+
+The XLA banded path (ops/banded_attention.py) materializes the full
+[nb, H, block, block+2w] logits tensor in HBM twice (pre- and
+post-softmax) — ~1.8 GB bf16 at GenCast production scale (splits 6 /
+hops 6), making the op memory-bound. This kernel runs the classic
+flash-attention online-softmax recurrence over key tiles entirely in
+VMEM: logits never touch HBM, and k/v windows are streamed tile by tile
+straight from the padded arrays (no [nb, window] window copy either).
+
+Numerics match ops/banded_attention.py: masked softmax over the banded
+adjacency, empty receiver rows produce exact zeros (segment-softmax
+semantics). Reference behavior analogue:
+gencast/layers/experimental/sparse_transformer.py (reference uses
+dgl.sparse bsddmm/bspmm on GPU).
+
+Constraints (asserted): block % KT == 0 and 2*w % KT == 0 with KT=512,
+i.e. w a multiple of 256 — DeviceGraph.from_bundle rounds w up
+accordingly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_KT = 512  # key-tile rows per inner step
+_NEG = -1e30  # -inf stand-in: exp(_NEG - m) == 0 without inf-inf NaNs
+
+
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc, m_i, l_i, *, n_kt):
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+        m_i[...] = jnp.full_like(m_i, _NEG)
+        l_i[...] = jnp.zeros_like(l_i)
+
+    q = q_ref[0, 0, :, :]  # [block, C]
+    k = k_ref[0, :, :]  # [KT, C]
+    v = v_ref[0, :, :]
+    mask = mask_ref[0, :, :] != 0  # [block, KT]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (1.0 / (q.shape[-1] ** 0.5))
+    logits = jnp.where(mask, logits, _NEG)
+
+    m_prev = m_i[:, :1]  # [block, 1]
+    l_prev = l_i[:, :1]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)
+    p = jnp.where(mask, p, 0.0)
+
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    acc[...] = acc[...] * alpha + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
+    l_i[...] = jnp.broadcast_to(l_new, l_i.shape)
+
+    @pl.when(t == n_kt - 1)
+    def _finish():
+        l = l_i[:, :1]
+        out = acc[...] / jnp.maximum(l, 1e-30)  # empty rows: l==0 -> 0
+        o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "w", "interpret")
+)
+def banded_flash_attention(
+    q: jnp.ndarray,  # [N, H, C] (batch: vmap this function)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    band_masks: jnp.ndarray,  # [nb, block, block + 2w] bool/int8
+    block: int,
+    w: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for banded_graph_attention (unbatched). Returns [N, H, C].
+
+    Differentiable: the backward pass runs through the XLA banded path
+    (numerically equivalent; see module docstring), so training works —
+    the flash kernel accelerates the forward. A hand-written flash
+    backward is a planned follow-up (NOTES.md).
+    """
+    return _flash(q, k, v, band_masks, block, w, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, band_masks, block, w, interpret):
+    return _flash_impl(q, k, v, band_masks, block, w, interpret)
+
+
+def _flash_fwd(q, k, v, band_masks, block, w, interpret):
+    out = _flash_impl(q, k, v, band_masks, block, w, interpret)
+    return out, (q, k, v, band_masks)
+
+
+def _flash_bwd(block, w, interpret, res, g):
+    from graph_weather_tpu.ops.banded_attention import banded_graph_attention
+
+    q, k, v, band_masks = res
+    _, pullback = jax.vjp(
+        lambda a, b, c: banded_graph_attention(a, b, c, band_masks, block, w),
+        q, k, v,
+    )
+    dq, dk, dv = pullback(g)
+    import numpy as np
+
+    return dq, dk, dv, np.zeros(band_masks.shape, jax.dtypes.float0)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _flash_impl(q, k, v, band_masks, block, w, interpret):
+    n, h, c = q.shape
+    nb = band_masks.shape[0]
+    n_pad = nb * block
+    width = block + 2 * w
+    if block % _KT or (2 * w) % _KT:
+        raise ValueError(f"block={block} and 2w={2*w} must be multiples of {_KT}")
+    n_kt = width // _KT
+
+    # Layouts put (rows, C) in the trailing two dims (Mosaic block rule:
+    # last two block dims must be sublane/lane multiples).
+    q_p = (
+        jnp.pad(q, ((0, n_pad - n), (0, 0), (0, 0)))
+        .reshape(nb, block, h, c)
+        .transpose(0, 2, 1, 3)  # [nb, H, block, C]
+    )
+    kv_pad = ((w, n_pad - n + w), (0, 0), (0, 0))
+    k_p = jnp.pad(k, kv_pad).transpose(1, 0, 2)  # [H, n_pad + 2w, C]
+    v_p = jnp.pad(v, kv_pad).transpose(1, 0, 2)
+    masks8 = band_masks.astype(jnp.int8)
+
+    grid = (nb, h, n_kt)
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_kt=n_kt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block, c), lambda b, hh, t: (b, hh, 0, 0)),
+            # k/v tile row start = b*block + t*KT; block % KT == 0 makes
+            # the index exact in KT units.
+            pl.BlockSpec((1, _KT, c), lambda b, hh, t: (hh, b * (block // _KT) + t, 0)),
+            pl.BlockSpec((1, _KT, c), lambda b, hh, t: (hh, b * (block // _KT) + t, 0)),
+            pl.BlockSpec((1, block, _KT), lambda b, hh, t: (b, 0, t)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block, c), lambda b, hh, t: (b, hh, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, h, block, c), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block, c), jnp.float32),
+            pltpu.VMEM((block, 128), jnp.float32),
+            pltpu.VMEM((block, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(q_p, k_p, v_p, masks8)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(n_pad, h, c)[:n]

@@ -212,6 +212,25 @@ class TestBandedAttention:
         # f32 reduction-order noise through preconditioning; same numerics.
         np.testing.assert_allclose(o_seg, o_band, atol=1e-3)
 
+    def test_denoiser_banded_flash_matches_segment(self):
+        # Pallas interpret mode on CPU; tiny config to keep it fast.
+        grid_lon, grid_lat = _grids()
+        kw = dict(
+            grid_lon=grid_lon, grid_lat=grid_lat, input_features_dim=3,
+            output_features_dim=2, hidden_dims=(16, 16), num_blocks=1,
+            num_heads=2, splits=2, num_hops=3, use_edges_features=False,
+        )
+        d_seg = Denoiser(**kw)
+        d_fl = Denoiser(**kw, attention_impl="banded_flash")
+        assert d_fl.khop.band_flash
+        params = d_seg.init(jax.random.PRNGKey(0))
+        tgt = jax.random.normal(jax.random.PRNGKey(1), (1, NLON, NLAT, 2))
+        prev = jax.random.normal(jax.random.PRNGKey(2), (1, NLON, NLAT, 6))
+        sig = jnp.full((1, 1), 0.5)
+        o_seg = d_seg.forward_fn()(params, tgt, prev, sig)
+        o_fl = d_fl.forward_fn()(params, tgt, prev, sig)
+        np.testing.assert_allclose(o_seg, o_fl, atol=1e-3)
+
     def test_banded_requires_no_edge_features(self):
         grid_lon, grid_lat = _grids()
         with pytest.raises(ValueError, match="use_edges_features"):

@@ -88,3 +88,83 @@ def test_fused_edge_mlp_bipartite_and_unpadded_tail():
     assert out.shape == (e_cnt, f)
     ref = _xla_ref(senders, receivers, xs, xd, e, p)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestBandedFlash:
+    """Flash-style banded attention kernel (interpret mode) vs the XLA
+    banded path (itself equivalence-tested against segment softmax)."""
+
+    def _graph(self, rng, n, w, deg=5):
+        senders, receivers = [], []
+        for r in range(n):
+            s = np.unique(rng.integers(max(0, r - w), min(n, r + w + 1), size=deg))
+            senders.extend(s.tolist())
+            receivers.extend([r] * len(s))
+        pairs = np.unique(np.stack([receivers, senders], 1), axis=0)
+        return pairs[:, 1].astype(np.int32), pairs[:, 0].astype(np.int32)
+
+    def test_matches_xla_banded(self):
+        from graph_weather_tpu.ops.banded_attention import (
+            banded_graph_attention,
+            build_band_masks,
+        )
+        from graph_weather_tpu.ops.pallas.banded_flash import (
+            banded_flash_attention,
+        )
+
+        rng = np.random.default_rng(0)
+        n, h, c, block, w = 1100, 2, 128, 512, 256
+        s_ids, r_ids = self._graph(rng, n, w)
+        keep = ~np.isin(r_ids, [3, 700, 1099])  # empty receiver rows
+        s_ids, r_ids = s_ids[keep], r_ids[keep]
+        masks = jnp.asarray(build_band_masks(s_ids, r_ids, n, block, w))
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((n, h, c)), jnp.float32)
+            for _ in range(3)
+        )
+        ref = banded_graph_attention(q, k, v, masks, block, w)
+        out = banded_flash_attention(q, k, v, masks, block, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        assert np.all(np.asarray(out)[3] == 0.0)  # empty rows exact zeros
+
+    def test_tile_divisibility_guard(self):
+        from graph_weather_tpu.ops.pallas.banded_flash import (
+            banded_flash_attention,
+        )
+
+        q = jnp.zeros((600, 1, 128))
+        masks = jnp.zeros((2, 512, 512 + 2 * 100), bool)
+        with pytest.raises(ValueError, match="multiples"):
+            banded_flash_attention(q, q, q, masks, 512, 100, interpret=True)
+
+    def test_gradients_match_xla_banded(self):
+        from graph_weather_tpu.ops.banded_attention import (
+            banded_graph_attention,
+            build_band_masks,
+        )
+        from graph_weather_tpu.ops.pallas.banded_flash import (
+            banded_flash_attention,
+        )
+
+        rng = np.random.default_rng(1)
+        n, h, c, block, w = 700, 1, 128, 512, 256
+        s_ids, r_ids = self._graph(rng, n, w, deg=4)
+        masks = jnp.asarray(build_band_masks(s_ids, r_ids, n, block, w))
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((n, h, c)), jnp.float32)
+            for _ in range(3)
+        )
+
+        def loss_flash(q, k, v):
+            return jnp.sum(
+                banded_flash_attention(q, k, v, masks, block, w, interpret=True)
+                ** 2
+            )
+
+        def loss_ref(q, k, v):
+            return jnp.sum(banded_graph_attention(q, k, v, masks, block, w) ** 2)
+
+        g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_rf = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_fl, g_rf):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
