@@ -61,9 +61,12 @@ class Sampler:
 
         return jax.vmap(one)(keys)
 
-    def sample_fn(self, denoiser):
-        """Pure jittable (params, key, prev_inputs) -> residual sample fn."""
-        fwd = denoiser.forward_fn()
+    def sample_fn(self, denoiser, compute_dtype=None):
+        """Pure jittable (params, key, prev_inputs) -> residual sample fn.
+
+        compute_dtype=jnp.bfloat16 runs each denoiser evaluation in bf16
+        (solver math — sigmas, Euler/DPM updates — stays f32)."""
+        fwd = denoiser.forward_fn(compute_dtype=compute_dtype)
         sigmas = self.sigmas()
         gamma_const = min(self.S_churn / self.num_steps, 2**0.5 - 1)
 
@@ -115,7 +118,7 @@ class Sampler:
 
         return fn
 
-    def sample(self, denoiser, params, prev_inputs, key=None):
+    def sample(self, denoiser, params, prev_inputs, key=None, compute_dtype=None):
         """Generate one residual sample conditioned on the previous 2 steps.
 
         The jitted sampler program is cached per denoiser (params are a
@@ -127,11 +130,15 @@ class Sampler:
             params: denoiser parameters.
             prev_inputs: [B, lon, lat, 2 F_in].
             key: jax PRNG key (defaults to PRNGKey(0)).
+            compute_dtype: optional dtype (e.g. jnp.bfloat16) for the
+                denoiser network evaluations; solver math stays f32.
         """
         key = key if key is not None else jax.random.PRNGKey(0)
-        cache_key = id(denoiser)
+        cache_key = (id(denoiser), jnp.dtype(compute_dtype).name if compute_dtype else None)
         if not hasattr(self, "_jit_cache"):
             self._jit_cache = {}
         if cache_key not in self._jit_cache:
-            self._jit_cache[cache_key] = jax.jit(self.sample_fn(denoiser))
+            self._jit_cache[cache_key] = jax.jit(
+                self.sample_fn(denoiser, compute_dtype=compute_dtype)
+            )
         return self._jit_cache[cache_key](params, key, prev_inputs)
