@@ -11,6 +11,7 @@ import ctypes
 import logging
 import os
 import subprocess
+import sys
 import threading
 
 import numpy as np
@@ -24,6 +25,45 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
+# Exercises khop_edges in a THROWAWAY process: a .so built on a different
+# microarch (-march=native) loads fine via CDLL but can SIGILL at call
+# time, which would kill this process — the subprocess absorbs the crash.
+_SELFTEST = """
+import ctypes, sys
+import numpy as np
+lib = ctypes.CDLL(sys.argv[1])
+i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+lib.khop_edges.restype = ctypes.c_int64
+lib.khop_edges.argtypes = [
+    i32p, i32p, ctypes.c_int32, ctypes.c_int32,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+]
+# Triangle graph, 2 hops, no self-loops -> 6 edges.
+indptr = np.array([0, 2, 4, 6], np.int32)
+indices = np.array([1, 2, 0, 2, 0, 1], np.int32)
+counts = np.zeros(3, np.int64)
+total = lib.khop_edges(
+    indptr, indices, 3, 2, counts.ctypes.data_as(ctypes.c_void_p),
+    None, None, None,
+)
+assert total == 6, total
+assert counts.tolist() == [2, 2, 2], counts
+"""
+
+
+def _selftest() -> bool:
+    try:
+        subprocess.run(
+            [sys.executable, "-c", _SELFTEST, _LIB],
+            check=True,
+            capture_output=True,
+            timeout=60,
+        )
+        return True
+    except Exception as e:  # noqa: BLE001
+        logger.info("meshops self-test failed (%s); rebuilding", e)
+        return False
+
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB]
@@ -36,14 +76,24 @@ def _build() -> bool:
 
 
 def get_lib():
-    """The loaded ctypes library, building it on first use; None on failure."""
+    """The loaded ctypes library, building it on first use; None on failure.
+
+    A preexisting .so (e.g. left over from another machine) is never
+    trusted blindly: it must pass the subprocess self-test, else it is
+    rebuilt from source. The binary itself is not version-controlled.
+    """
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            if not _build():
+        stale = (
+            not os.path.exists(_LIB)
+            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+            or not _selftest()
+        )
+        if stale:
+            if not _build() or not _selftest():
                 return None
         try:
             lib = ctypes.CDLL(_LIB)

@@ -172,9 +172,14 @@ class GraphWeatherForecaster:
         mesh = get_hexmesh(resolution)
         self.mesh = mesh
         ll = np.asarray(self.lat_lons, dtype=np.float64)
-        self.g2m = DeviceGraph.from_bundle(build_grid_to_mesh_graph(ll, mesh))
-        self.latent = DeviceGraph.from_bundle(build_latent_graph(mesh))
-        self.m2g = DeviceGraph.from_bundle(build_mesh_to_grid_graph(ll, mesh))
+        # Host bundles are kept for the spatially-sharded path, which
+        # re-partitions the raw edge arrays per device (parallel/forecaster).
+        self.g2m_bundle = build_grid_to_mesh_graph(ll, mesh)
+        self.latent_bundle = build_latent_graph(mesh)
+        self.m2g_bundle = build_mesh_to_grid_graph(ll, mesh)
+        self.g2m = DeviceGraph.from_bundle(self.g2m_bundle)
+        self.latent = DeviceGraph.from_bundle(self.latent_bundle)
+        self.m2g = DeviceGraph.from_bundle(self.m2g_bundle)
 
         self.module = ForecasterModule(
             feature_dim=feature_dim,
@@ -250,6 +255,22 @@ class GraphWeatherForecaster:
             return out.astype(jnp.float32) if compute_dtype is not None else out
 
         return fn
+
+    def spatial_forward_fn(self, mesh, axis: str = "model", compute_dtype=None):
+        """Explicitly grid-node-sharded forward over a device mesh.
+
+        The sequence-parallel analogue for very large grids (0.25° ≈ 1M
+        nodes): grid nodes + g2m/m2g edges are partitioned over the mesh's
+        `axis`, the latent mesh runs the halo-exchange processor, and ICI
+        collectives (one encoder psum, one all_gather per processor round)
+        stitch the shards (see parallel/forecaster.py). Same params as
+        `forward_fn`; outputs match to f32 tolerance.
+        """
+        from graph_weather_tpu.parallel.forecaster import make_spatial_forward
+
+        return make_spatial_forward(
+            self, mesh, axis=axis, compute_dtype=compute_dtype
+        )
 
     def precompute_static(self, params, compute_dtype=None) -> dict:
         """Encode the input-independent edge features once (inference mode).

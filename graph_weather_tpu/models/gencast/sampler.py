@@ -76,11 +76,7 @@ class Sampler:
             x = sigmas[0] * self._noise(init_key, denoiser, batch)
             ones = jnp.ones((batch, 1))
 
-            def step(carry, inp):
-                x, key = carry
-                i = inp
-                sigma_i = sigmas[i]
-                sigma_next = sigmas[i + 1]
+            def churn(x, key, sigma_i):
                 gamma = jnp.where(
                     (self.S_tmin <= sigma_i) & (sigma_i <= self.S_tmax),
                     gamma_const,
@@ -90,13 +86,15 @@ class Sampler:
                 noise = self.S_noise * self._noise(nkey, denoiser, batch)
                 sigma_hat = sigma_i * (gamma + 1.0)
                 x = x + jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma_i**2, 0.0)) * noise
+                return x, key, sigma_hat
+
+            def step(carry, i):
+                # DPMSolver++2S midpoint step (all but the last iteration).
+                x, key = carry
+                x, key, sigma_hat = churn(x, key, sigmas[i])
+                sigma_next = sigmas[i + 1]
                 denoised = fwd(params, x, prev_inputs, sigma_hat * ones)
 
-                # final Euler step when i == num_steps - 2
-                d = (x - denoised) / sigma_hat
-                x_euler = x + d * (sigma_next - sigma_hat)
-
-                # DPMSolver++2S midpoint step
                 lambda_hat = -jnp.log(sigma_hat)
                 lambda_next = -jnp.log(sigma_next)
                 h = lambda_next - lambda_hat
@@ -105,15 +103,21 @@ class Sampler:
                 u = sigma_mid / sigma_hat * x - (jnp.exp(-self.r * h) - 1.0) * denoised
                 denoised_2 = fwd(params, u, prev_inputs, sigma_mid * ones)
                 D = (1.0 - 1.0 / (2.0 * self.r)) * denoised + denoised_2 / (2.0 * self.r)
-                x_dpm = sigma_next / sigma_hat * x - (jnp.exp(-h) - 1.0) * D
-
-                is_last = i == self.num_steps - 2
-                x = jnp.where(is_last, x_euler, x_dpm)
+                x = sigma_next / sigma_hat * x - (jnp.exp(-h) - 1.0) * D
                 return (x, key), None
 
-            (x, _), _ = jax.lax.scan(
-                step, (x, key), jnp.arange(self.num_steps - 1)
-            )
+            if self.num_steps > 2:
+                (x, key), _ = jax.lax.scan(
+                    step, (x, key), jnp.arange(self.num_steps - 2)
+                )
+            # Final iteration is a single-eval Euler step — unrolled outside
+            # the scan so the midpoint denoiser eval is never computed
+            # (matches the reference's 2(N-2)+1 eval count,
+            # reference models/gencast/sampler.py:90-128).
+            x, key, sigma_hat = churn(x, key, sigmas[self.num_steps - 2])
+            denoised = fwd(params, x, prev_inputs, sigma_hat * ones)
+            d = (x - denoised) / sigma_hat
+            x = x + d * (sigmas[self.num_steps - 1] - sigma_hat)
             return x
 
         return fn
@@ -138,7 +142,12 @@ class Sampler:
         if not hasattr(self, "_jit_cache"):
             self._jit_cache = {}
         if cache_key not in self._jit_cache:
-            self._jit_cache[cache_key] = jax.jit(
-                self.sample_fn(denoiser, compute_dtype=compute_dtype)
+            # Keep a strong reference to the denoiser alongside the jitted
+            # program: the cache is keyed on id(), and a garbage-collected
+            # denoiser's id could be recycled by a new instance, aliasing a
+            # program compiled against the old model's graphs.
+            self._jit_cache[cache_key] = (
+                denoiser,
+                jax.jit(self.sample_fn(denoiser, compute_dtype=compute_dtype)),
             )
-        return self._jit_cache[cache_key](params, key, prev_inputs)
+        return self._jit_cache[cache_key][1](params, key, prev_inputs)

@@ -257,6 +257,11 @@ class NodeBlock(nn.Module):
 
     Factorized first layer (concat never materializes); with dst_is_zero
     the x contribution and the residual drop out exactly.
+
+    A precomputed `agg` may be passed instead of aggregating in-block —
+    used by the spatially-sharded forward, whose edge shards must psum
+    their partial aggregates across devices before the node update
+    (parallel/forecaster.py).
     """
 
     node_dim: int
@@ -267,9 +272,14 @@ class NodeBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x_dst: jnp.ndarray, edge_feats: jnp.ndarray, graph: DeviceGraph
+        self,
+        x_dst: jnp.ndarray,
+        edge_feats: jnp.ndarray,
+        graph: DeviceGraph,
+        agg: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        agg = graph.aggregate(edge_feats)
+        if agg is None:
+            agg = graph.aggregate(edge_feats)
         h = _FactorizedPartsMLP(
             self.node_dim, self.hidden_dim, self.hidden_layers, self.norm_type,
             name="MLP_0",

@@ -32,7 +32,7 @@ _KT = 512  # key-tile rows per inner step
 _NEG = -1e30  # -inf stand-in: exp(_NEG - m) == 0 without inf-inf NaNs
 
 
-def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc, m_i, l_i, *, n_kt):
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc, m_i, l_i, *, n_kt, scale):
     t = pl.program_id(2)
 
     @pl.when(t == 0)
@@ -48,7 +48,7 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc, m_i, l_i, *, n_kt):
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (1.0 / (q.shape[-1] ** 0.5))
+    ) * scale
     logits = jnp.where(mask, logits, _NEG)
 
     m_prev = m_i[:, :1]  # [block, 1]
@@ -131,6 +131,20 @@ def _flash_impl(q, k, v, band_masks, block, w, interpret):
         raise ValueError(f"block={block} and 2w={2*w} must be multiples of {_KT}")
     n_kt = width // _KT
 
+    # Mosaic lane rule: the trailing block dim must be a multiple of 128.
+    # Small head channels (e.g. hidden 64 / 4 heads -> c=16) are zero-padded
+    # up to the lane width; zero channels leave QK^T and the P@V columns we
+    # keep unchanged, and the softmax scale uses the TRUE c.
+    scale = 1.0 / (c**0.5)
+    c_true = c
+    c_pad = -(-c // 128) * 128
+    if c_pad != c:
+        cpad = ((0, 0), (0, 0), (0, c_pad - c))
+        q = jnp.pad(q, cpad)
+        k = jnp.pad(k, cpad)
+        v = jnp.pad(v, cpad)
+        c = c_pad
+
     # Layouts put (rows, C) in the trailing two dims (Mosaic block rule:
     # last two block dims must be sublane/lane multiples).
     q_p = (
@@ -145,7 +159,7 @@ def _flash_impl(q, k, v, band_masks, block, w, interpret):
 
     grid = (nb, h, n_kt)
     out = pl.pallas_call(
-        functools.partial(_kernel, n_kt=n_kt),
+        functools.partial(_kernel, n_kt=n_kt, scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block, c), lambda b, hh, t: (b, hh, 0, 0)),
@@ -167,4 +181,4 @@ def _flash_impl(q, k, v, band_masks, block, w, interpret):
         ),
         interpret=interpret,
     )(q_p, k_p, v_p, masks8)
-    return jnp.transpose(out, (0, 2, 1, 3)).reshape(n_pad, h, c)[:n]
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(n_pad, h, c)[:n, :, :c_true]

@@ -21,7 +21,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from graph_weather_tpu.meshes.graphs import GraphBundle
@@ -184,7 +184,7 @@ def make_halo_processor(
         return x_loc
 
     smapped = shard_map(
-        local, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+        local, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
     )
 
     def fn(block_params, x, edge_feats):

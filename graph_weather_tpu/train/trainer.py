@@ -158,52 +158,61 @@ class Trainer:
         window_steps = 0
         step = start_step
 
-        for batch in batches:
-            if num_steps is not None and step >= num_steps:
-                break
-            if cfg.profile_steps and step == cfg.profile_steps[0]:
-                jax.profiler.start_trace(cfg.profile_dir)
-            if cfg.profile_steps and step == cfg.profile_steps[1]:
-                jax.profiler.stop_trace()
-            batch = self._place_batch(batch)
-            params, opt_state, loss, gnorm = self._train_step(
-                params, opt_state, *batch
-            )
-            # No per-step host sync: loss stays on device (async dispatch
-            # keeps host batch prep overlapped); apply_if_finite already
-            # drops non-finite updates in-graph. Sync only when logging.
-            step += 1
-            window_steps += 1
+        trace_open = False
+        try:
+            for batch in batches:
+                if num_steps is not None and step >= num_steps:
+                    break
+                if cfg.profile_steps and step == cfg.profile_steps[0]:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    trace_open = True
+                if cfg.profile_steps and step == cfg.profile_steps[1]:
+                    jax.profiler.stop_trace()
+                    trace_open = False
+                batch = self._place_batch(batch)
+                params, opt_state, loss, gnorm = self._train_step(
+                    params, opt_state, *batch
+                )
+                # No per-step host sync: loss stays on device (async dispatch
+                # keeps host batch prep overlapped); apply_if_finite already
+                # drops non-finite updates in-graph. Sync only when logging.
+                step += 1
+                window_steps += 1
 
-            if step % cfg.log_every == 0:
-                loss_val = float(loss)
-                if cfg.skip_non_finite and not np.isfinite(loss_val):
-                    logger.warning(
-                        "step %d: non-finite loss %s — update was skipped in-graph",
-                        step, loss_val,
+                if step % cfg.log_every == 0:
+                    loss_val = float(loss)
+                    if cfg.skip_non_finite and not np.isfinite(loss_val):
+                        logger.warning(
+                            "step %d: non-finite loss %s — update was skipped in-graph",
+                            step, loss_val,
+                        )
+                    dt = time.perf_counter() - window_start
+                    metrics = {
+                        "loss": loss_val,
+                        "grad_norm": float(gnorm),
+                        "steps_per_sec": window_steps / max(dt, 1e-9),
+                    }
+                    history.append({"step": step, **metrics})
+                    logger.info(
+                        "step %d loss %.5f grad_norm %.3f %.2f steps/s",
+                        step, metrics["loss"], metrics["grad_norm"],
+                        metrics["steps_per_sec"],
                     )
-                dt = time.perf_counter() - window_start
-                metrics = {
-                    "loss": loss_val,
-                    "grad_norm": float(gnorm),
-                    "steps_per_sec": window_steps / max(dt, 1e-9),
-                }
-                history.append({"step": step, **metrics})
-                logger.info(
-                    "step %d loss %.5f grad_norm %.3f %.2f steps/s",
-                    step, metrics["loss"], metrics["grad_norm"],
-                    metrics["steps_per_sec"],
-                )
-                if self.metrics_hook:
-                    self.metrics_hook(step, metrics)
-                window_start = time.perf_counter()
-                window_steps = 0
+                    if self.metrics_hook:
+                        self.metrics_hook(step, metrics)
+                    window_start = time.perf_counter()
+                    window_steps = 0
 
-            if cfg.checkpoint_dir and step % cfg.checkpoint_every == 0:
-                save_checkpoint(
-                    cfg.checkpoint_dir, step,
-                    {"params": params, "opt_state": opt_state},
-                )
+                if cfg.checkpoint_dir and step % cfg.checkpoint_every == 0:
+                    save_checkpoint(
+                        cfg.checkpoint_dir, step,
+                        {"params": params, "opt_state": opt_state},
+                    )
+        finally:
+            # Training may end (batches exhausted / num_steps / exception)
+            # before the configured stop step — flush an open trace.
+            if trace_open:
+                jax.profiler.stop_trace()
         return params, opt_state, history
 
     def resume(self, template_params):
