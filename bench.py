@@ -1,102 +1,349 @@
-"""Benchmark: GraphWeatherForecaster forward+loss step on real TPU.
+"""Benchmark suite: one JSON line per metric, headline metric LAST.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Each metric runs in its own subprocess (clean HBM, isolated failures) and
+prints {"metric", "value", "unit", "vs_baseline"}. The final line is the
+headline forecast steps/sec metric the driver has tracked since round 1.
 
-Config matches BASELINE.md's headline row: 1-degree global grid (64,800
-nodes, 102 -> 78 features), jitted forward + NormalizedMSELoss, default
-model scale (256-d, 9 message-passing blocks). The reference publishes no
-numbers (BASELINE.md), so vs_baseline compares against the previous round's
-recorded result when present, else 1.0.
+Metrics (config sources: BASELINE.md round-1 measurements):
+  - gencast_denoiser_fwd_ms_splits5   128x64 grid, 512-d, 16 blocks,
+    splits 5 / hops 4, banded_flash, bf16 (r1: 27.9 ms)
+  - gencast_denoiser_fwd_ms_splits6   production scale, splits 6 / hops 6
+    (40,962 mesh nodes, 5.16M k-hop edges)  (r1: 178.7 ms)
+  - gencast_sampler_20step_ms         full DPMSolver++2S, 37 denoiser
+    evals, splits 5, bf16 (r1: 941 ms)
+  - assimilator_fwd_ms                4,096 obs -> 64,800-node analysis
+    grid, dim 24 (r1: 27.1 ms)
+  - forecast_train_step_ms_1deg       fwd+bwd+AdamW, batch 1 (r1: 121 ms)
+  - forecast_fwd_loss_steps_per_sec_1deg  HEADLINE (r1: 36.255 steps/s)
+
+vs_baseline > 1 always means "better than round 1" (ratio is inverted for
+ms metrics). --quick runs a cut-down subset on tiny grids.
 """
 
 from __future__ import annotations
 
-import glob
 import json
 import os
-import re
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+# Round-1 single-v5e measurements (BASELINE.md) used as the fixed baseline
+# for the ms metrics; the headline steps/sec metric reads the previous
+# round's BENCH_r*.json instead (relative tracking, as in round 1).
+R1_BASELINE_MS = {
+    "gencast_denoiser_fwd_ms_splits5": 27.9,
+    "gencast_denoiser_fwd_ms_splits6": 178.7,
+    "gencast_sampler_20step_ms": 941.0,
+    "assimilator_fwd_ms": 27.1,
+    "forecast_train_step_ms_1deg": 121.0,
+}
 
-def main() -> None:
-    quick = "--quick" in sys.argv
+
+def _grid(spacing: float):
+    lats = np.arange(-90.0, 90.0, spacing)
+    lons = np.arange(0.0, 360.0, spacing)
+    return [(float(a), float(b)) for a in lats for b in lons]
+
+
+def _time_ms(fn, n_iter: int) -> float:
+    out = fn()
+    jax_block(out)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fn()
+    jax_block(out)
+    return (time.perf_counter() - t0) / n_iter * 1000.0
+
+
+def jax_block(out):
+    import jax
+
+    jax.block_until_ready(out)
+
+
+def _emit(metric: str, value: float, unit: str, vs_baseline: float, **detail):
+    import jax
+
+    detail.setdefault("device", str(jax.devices()[0]))
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 3),
+                "unit": unit,
+                "vs_baseline": round(vs_baseline, 3),
+                "detail": detail,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _ms_metric(metric: str, value_ms: float, **detail):
+    base = R1_BASELINE_MS.get(metric)
+    vs = (base / value_ms) if base else 1.0
+    _emit(metric, value_ms, "ms", vs, **detail)
+
+
+# --------------------------------------------------------------------------
+# individual metrics (each runs in a fresh subprocess)
+
+
+def metric_denoiser(splits: int, hops: int, quick: bool):
     import jax
     import jax.numpy as jnp
+
+    from graph_weather_tpu.models.gencast import Denoiser
+
+    if quick:
+        nlon, nlat, hid, blocks, splits, hops = 32, 16, 64, 4, 2, 2
+        f_in, f_out = 8, 4
+    else:
+        nlon, nlat, hid, blocks = 128, 64, 512, 16
+        f_in, f_out = 89, 83
+    den = Denoiser(
+        grid_lon=np.arange(0.0, 360.0, 360.0 / nlon),
+        grid_lat=np.linspace(-90.0, 90.0, nlat),
+        input_features_dim=f_in,
+        output_features_dim=f_out,
+        hidden_dims=(hid, hid),
+        num_blocks=blocks,
+        num_heads=4,
+        splits=splits,
+        num_hops=hops,
+        use_edges_features=False,
+        attention_impl="banded_flash",
+    )
+    params = den.init(jax.random.PRNGKey(0))
+    fwd = jax.jit(den.forward_fn(compute_dtype=jnp.bfloat16))
+    corrupted = jax.random.normal(jax.random.PRNGKey(1), (1, nlon, nlat, f_out))
+    prev = jax.random.normal(jax.random.PRNGKey(2), (1, nlon, nlat, 2 * f_in))
+    noise = jnp.full((1, 1), 1.0)
+    ms = _time_ms(lambda: fwd(params, corrupted, prev, noise), 5 if quick else 20)
+    _ms_metric(
+        f"gencast_denoiser_fwd_ms_splits{splits}" + ("_quick" if quick else ""),
+        ms,
+        grid=f"{nlon}x{nlat}",
+        mesh_nodes=int(den.graphs.khop.n_senders),
+        dtype="bfloat16",
+    )
+
+
+def metric_sampler(quick: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from graph_weather_tpu.models.gencast import Denoiser, Sampler
+
+    if quick:
+        nlon, nlat, hid, blocks, splits, hops = 32, 16, 64, 4, 2, 2
+        f_in, f_out, steps = 8, 4, 4
+    else:
+        nlon, nlat, hid, blocks, splits, hops = 128, 64, 512, 16, 5, 4
+        f_in, f_out, steps = 89, 83, 20
+    den = Denoiser(
+        grid_lon=np.arange(0.0, 360.0, 360.0 / nlon),
+        grid_lat=np.linspace(-90.0, 90.0, nlat),
+        input_features_dim=f_in,
+        output_features_dim=f_out,
+        hidden_dims=(hid, hid),
+        num_blocks=blocks,
+        num_heads=4,
+        splits=splits,
+        num_hops=hops,
+        use_edges_features=False,
+        attention_impl="banded_flash",
+    )
+    params = den.init(jax.random.PRNGKey(0))
+    sampler = Sampler(num_steps=steps)
+    fn = jax.jit(sampler.sample_fn(den, compute_dtype=jnp.bfloat16))
+    prev = jax.random.normal(jax.random.PRNGKey(2), (1, nlon, nlat, 2 * f_in))
+    key = jax.random.PRNGKey(3)
+    ms = _time_ms(lambda: fn(params, key, prev), 2 if quick else 5)
+    _ms_metric(
+        "gencast_sampler_20step_ms" + ("_quick" if quick else ""),
+        ms,
+        num_steps=steps,
+        denoiser_evals=2 * (steps - 2) + 1,
+        dtype="bfloat16",
+    )
+
+
+def metric_assimilator(quick: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from graph_weather_tpu import GraphWeatherAssimilator
+
+    spacing = 4.0 if quick else 1.0
+    lat_lons = _grid(spacing)
+    num_obs = 512 if quick else 4096
+    model = GraphWeatherAssimilator(
+        output_lat_lons=lat_lons, analysis_dim=24, observation_dim=2
+    )
+    params = model.init(jax.random.PRNGKey(0), num_obs=num_obs)
+    fwd = jax.jit(model.forward_fn())
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, num_obs, 2))
+    rng = np.random.default_rng(2)
+    obs = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-90, 90, num_obs),
+                rng.uniform(0, 360, num_obs),
+                rng.uniform(0, 10000, num_obs),
+            ],
+            axis=1,
+        ),
+        jnp.float32,
+    )
+    ms = _time_ms(lambda: fwd(params, feats, obs), 5 if quick else 20)
+    _ms_metric(
+        "assimilator_fwd_ms" + ("_quick" if quick else ""),
+        ms,
+        num_obs=num_obs,
+        grid_nodes=len(lat_lons),
+    )
+
+
+def metric_train_step(quick: bool):
+    import jax
+
+    from graph_weather_tpu import GraphWeatherForecaster, NormalizedMSELoss
+    from graph_weather_tpu.train import make_optimizer, make_train_step
+
+    spacing = 4.0 if quick else 1.0
+    lat_lons = _grid(spacing)
+    model = GraphWeatherForecaster(lat_lons, feature_dim=78, aux_dim=24)
+    params = model.init(jax.random.PRNGKey(0))
+    loss_obj = NormalizedMSELoss(np.ones(78), lat_lons, normalize=True)
+    optimizer = make_optimizer(learning_rate=1e-3)
+    step = jax.jit(
+        make_train_step(model.forward_fn(), loss_obj, optimizer),
+    )
+    opt_state = optimizer.init(params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, len(lat_lons), 102))
+    y = jax.random.normal(jax.random.PRNGKey(2), (1, len(lat_lons), 78))
+
+    # not donating buffers here so the timing loop can reuse inputs
+    def run():
+        p, o, loss = step(params, opt_state, x, y)
+        return loss
+
+    ms = _time_ms(run, 5 if quick else 20)
+    _ms_metric(
+        "forecast_train_step_ms_1deg" + ("_quick" if quick else ""),
+        ms,
+        grid_nodes=len(lat_lons),
+        optimizer="adamw",
+    )
+
+
+def metric_headline(quick: bool):
+    import glob
+    import re
+
+    import jax
 
     from graph_weather_tpu import GraphWeatherForecaster, NormalizedMSELoss
 
     spacing = 4.0 if quick else 1.0
-    lats = np.arange(-90.0, 90.0, spacing)
-    lons = np.arange(0.0, 360.0, spacing)
-    lat_lons = [(float(a), float(b)) for a in lats for b in lons]
-    feature_dim, aux_dim = 78, 24
-
+    lat_lons = _grid(spacing)
     t0 = time.time()
-    model = GraphWeatherForecaster(lat_lons, feature_dim=feature_dim, aux_dim=aux_dim)
+    model = GraphWeatherForecaster(lat_lons, feature_dim=78, aux_dim=24)
     build_s = time.time() - t0
-
-    rng = jax.random.PRNGKey(0)
-    params = model.init(rng)
-    loss_obj = NormalizedMSELoss(np.ones(feature_dim), lat_lons, normalize=True)
+    params = model.init(jax.random.PRNGKey(0))
+    loss_obj = NormalizedMSELoss(np.ones(78), lat_lons, normalize=True)
     fwd = model.forward_fn()
 
     @jax.jit
     def step(params, features, target):
         return loss_obj(fwd(params, features), target)
 
-    features = jax.random.normal(
-        jax.random.PRNGKey(1), (1, len(lat_lons), feature_dim + aux_dim)
-    )
-    target = jax.random.normal(jax.random.PRNGKey(2), (1, len(lat_lons), feature_dim))
-
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, len(lat_lons), 102))
+    y = jax.random.normal(jax.random.PRNGKey(2), (1, len(lat_lons), 78))
     t0 = time.time()
-    step(params, features, target).block_until_ready()
+    step(params, x, y).block_until_ready()
     compile_s = time.time() - t0
-
     n_iter = 5 if quick else 20
-    # Warmup already done; time steady-state.
-    t0 = time.time()
-    for _ in range(n_iter):
-        loss = step(params, features, target)
-    loss.block_until_ready()
-    elapsed = time.time() - t0
-    steps_per_sec = n_iter / elapsed
+    ms = _time_ms(lambda: step(params, x, y), n_iter)
+    steps_per_sec = 1000.0 / ms
 
     prev = None
     rounds = sorted(
-        glob.glob("BENCH_r*.json"),
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
     )
     if rounds:
         try:
             with open(rounds[-1]) as f:
-                prev = json.load(f).get("value")
+                data = json.load(f)
+            prev = (data.get("parsed") or data).get("value")
         except Exception:
             prev = None
-    vs_baseline = (steps_per_sec / prev) if prev else 1.0
-
-    print(
-        json.dumps(
-            {
-                "metric": "forecast_fwd_loss_steps_per_sec_1deg"
-                + ("_quick4deg" if quick else ""),
-                "value": round(steps_per_sec, 3),
-                "unit": "steps/sec",
-                "vs_baseline": round(vs_baseline, 3),
-                "detail": {
-                    "grid_nodes": len(lat_lons),
-                    "loss_included": True,
-                    "build_s": round(build_s, 2),
-                    "compile_s": round(compile_s, 2),
-                    "device": str(jax.devices()[0]),
-                    "step_ms": round(1000.0 * elapsed / n_iter, 2),
-                },
-            }
-        )
+    _emit(
+        "forecast_fwd_loss_steps_per_sec_1deg" + ("_quick4deg" if quick else ""),
+        steps_per_sec,
+        "steps/sec",
+        (steps_per_sec / prev) if prev else 1.0,
+        grid_nodes=len(lat_lons),
+        loss_included=True,
+        build_s=round(build_s, 2),
+        compile_s=round(compile_s, 2),
+        step_ms=round(ms, 2),
     )
+
+
+METRICS = {
+    "denoiser_s5": lambda quick: metric_denoiser(5, 4, quick),
+    "denoiser_s6": lambda quick: metric_denoiser(6, 6, quick),
+    "sampler": metric_sampler,
+    "assimilator": metric_assimilator,
+    "train_step": metric_train_step,
+    "headline": metric_headline,
+}
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    which = None
+    for a in sys.argv[1:]:
+        if a.startswith("--metric="):
+            which = a.split("=", 1)[1]
+    if which is not None:
+        METRICS[which](quick)
+        return
+
+    # Parent: run each metric in its own subprocess; forward its stdout
+    # JSON line(s). Headline runs last so the driver's single-line parse
+    # keeps tracking the round-1 metric.
+    order = ["denoiser_s5", "sampler", "assimilator", "train_step", "headline"]
+    if not quick:
+        order.insert(1, "denoiser_s6")
+    for name in order:
+        cmd = [sys.executable, os.path.abspath(__file__), f"--metric={name}"]
+        if quick:
+            cmd.append("--quick")
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=2400
+            )
+            wrote = False
+            for line in proc.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    print(line, flush=True)
+                    wrote = True
+            if proc.returncode != 0 or not wrote:
+                sys.stderr.write(
+                    f"[bench] metric {name} failed rc={proc.returncode}:\n"
+                    + proc.stderr[-2000:]
+                    + "\n"
+                )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"[bench] metric {name} timed out\n")
 
 
 if __name__ == "__main__":

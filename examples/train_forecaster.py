@@ -30,6 +30,12 @@ def main():
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--shard", action="store_true", help="DP+FSDP over all devices")
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="jax.distributed.initialize (run the same script on every host)",
+    )
+    parser.add_argument("--wandb", default=None, metavar="PROJECT",
+                        help="log metrics to this wandb project")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
@@ -60,6 +66,15 @@ def main():
                 xs, ys = zip(*(ds[start + i] for i in range(args.batch)))
                 yield np.stack(xs), np.stack(ys)
 
+    metrics_hook = None
+    if args.wandb:
+        from graph_weather_tpu.train.wandb_hook import make_wandb_hook
+
+        metrics_hook = make_wandb_hook(
+            project=args.wandb,
+            config={"spacing": args.spacing, "batch": args.batch, "lr": args.lr},
+        )
+
     trainer = Trainer(
         model.forward_fn(),
         loss,
@@ -71,7 +86,9 @@ def main():
             checkpoint_dir=args.ckpt,
             log_every=10,
             shard=args.shard,
+            multihost=args.multihost,
         ),
+        metrics_hook=metrics_hook,
     )
     trainer.fit(params, batches(), num_steps=args.steps)
 

@@ -88,8 +88,11 @@ class DeviceGraph:
                 ).max()
             )
             # Round up so the flash kernel's key tiling divides the window
-            # (2w % 512 == 0); also a lane multiple for the XLA path.
-            band_w = -(-span // 256) * 256
+            # (2w % 512 == 0); also a lane multiple for the XLA path. The
+            # flash BACKWARD kernel's dk/dv index maps additionally need
+            # w itself to be a whole number of 512-row key tiles.
+            round_to = 512 if band_flash else 256
+            band_w = -(-span // round_to) * round_to
             band_masks = jnp.asarray(
                 build_band_masks(
                     bundle.senders, bundle.receivers, bundle.n_receivers,

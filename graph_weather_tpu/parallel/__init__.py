@@ -17,13 +17,19 @@ from graph_weather_tpu.parallel.halo import (
     make_halo_processor,
     partition_latent_graph,
 )
+from graph_weather_tpu.parallel.multihost import (
+    distributed_init,
+    place_process_batch,
+)
 from graph_weather_tpu.parallel.spatial import node_sharded_forward
 
 __all__ = [
+    "distributed_init",
     "make_halo_processor",
     "make_mesh",
     "partition_latent_graph",
     "node_sharded_forward",
+    "place_process_batch",
     "shard_batch",
     "shard_params_fsdp",
     "sharding_for_tree",

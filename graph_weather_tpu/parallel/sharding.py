@@ -73,13 +73,24 @@ def shard_params_fsdp(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a batch pytree with the leading axis sharded over "data"."""
+    """Place a batch pytree with the leading axis sharded over "data".
+
+    Multi-host: each process passes its LOCAL slice of the global batch
+    (global = local * process_count); the global Array is assembled via
+    `jax.make_array_from_process_local_data` without cross-host copies.
+    """
+    from graph_weather_tpu.parallel.multihost import place_process_batch
+
+    procs = jax.process_count()
+    # Per-process divisibility: the data axis spans processes, so each
+    # process's local slice must split over the data-axis devices it hosts.
+    local_data = max(mesh.shape["data"] // procs, 1)
 
     def rule(leaf):
         spec = [None] * leaf.ndim
-        if leaf.ndim and leaf.shape[0] % mesh.shape["data"] == 0:
+        if leaf.ndim and leaf.shape[0] % local_data == 0:
             spec[0] = "data"
         return NamedSharding(mesh, P(*spec))
 
     shardings = jax.tree_util.tree_map(rule, batch)
-    return jax.device_put(batch, shardings)
+    return place_process_batch(batch, shardings)

@@ -46,6 +46,7 @@ class TrainerConfig:
     profile_steps: Optional[tuple[int, int]] = None  # (start, stop)
     profile_dir: str = "/tmp/graph_weather_tpu_profile"
     shard: bool = False  # DP batch + FSDP params over a device mesh
+    multihost: bool = False  # jax.distributed.initialize before meshing
 
 
 class Trainer:
@@ -60,6 +61,13 @@ class Trainer:
     ):
         self.config = config
         self.metrics_hook = metrics_hook
+        if config.multihost:
+            # Multi-host SPMD (replaces the reference's Lightning-DDP
+            # launcher, reference train/era5.py:180-187): no-op on
+            # single-process runs, rendezvous over DCN otherwise.
+            from graph_weather_tpu.parallel import distributed_init
+
+            distributed_init()
         schedule = cosine_warmup_schedule(
             peak_lr=config.peak_lr,
             warmup_steps=config.warmup_steps,

@@ -168,3 +168,49 @@ class TestBandedFlash:
         g_rf = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(g_fl, g_rf):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    @pytest.mark.parametrize("c", [128, 16])
+    def test_flash_backward_kernels_match_xla(self, c):
+        """w % 512 == 0 routes to the HAND-WRITTEN flash backward kernels
+        (dq + dk/dv Pallas, delta/lse recompute) — not the XLA-recompute
+        fallback. Checked against the XLA banded VJP, incl. empty rows and
+        lane-padded small head dims."""
+        from graph_weather_tpu.ops.banded_attention import (
+            banded_graph_attention,
+            build_band_masks,
+        )
+        from graph_weather_tpu.ops.pallas.banded_flash import (
+            banded_flash_attention,
+        )
+
+        rng = np.random.default_rng(2)
+        n, h, block, w = 1300, 2, 512, 512
+        s_ids, r_ids = self._graph(rng, n, w, deg=6)
+        keep = ~np.isin(r_ids, [0, 511, 512, 1299])  # empty rows at edges
+        s_ids, r_ids = s_ids[keep], r_ids[keep]
+        masks = jnp.asarray(build_band_masks(s_ids, r_ids, n, block, w))
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((n, h, c)), jnp.float32)
+            for _ in range(3)
+        )
+        cot = jnp.asarray(rng.standard_normal((n, h, c)), jnp.float32)
+
+        def loss_flash(q, k, v):
+            out = banded_flash_attention(q, k, v, masks, block, w, interpret=True)
+            return jnp.sum(out * cot)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(banded_graph_attention(q, k, v, masks, block, w) * cot)
+
+        out = banded_flash_attention(q, k, v, masks, block, w, interpret=True)
+        ref = banded_graph_attention(q, k, v, masks, block, w)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_rf = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("q k v".split(), g_fl, g_rf):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, err_msg=f"d{name}"
+            )
+        # Empty receiver rows: zero output AND zero dq.
+        assert np.all(np.asarray(out)[0] == 0.0)
+        assert np.all(np.asarray(g_fl[0])[0] == 0.0)

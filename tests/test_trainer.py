@@ -104,3 +104,46 @@ def test_save_load_params_roundtrip(setup, tmp_path):
     out1 = model.apply(params, jnp.asarray(x))
     out2 = model.apply(restored, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_distributed_init_single_process_noop():
+    """Multi-host init is a safe no-op on single-process runs."""
+    from graph_weather_tpu.parallel import distributed_init
+
+    assert distributed_init() is False
+    # Explicit process count > 1 without a coordinator must raise, not hang.
+    with pytest.raises(ValueError):
+        distributed_init(num_processes=4)
+
+
+def test_place_process_batch_single_process():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from graph_weather_tpu.parallel import make_mesh, place_process_batch
+
+    mesh = make_mesh(4)
+    x = np.arange(16, dtype=np.float32).reshape(4, 4)
+    sharding = NamedSharding(mesh, P("data"))
+    out = place_process_batch(x, sharding)
+    np.testing.assert_array_equal(np.asarray(out), x)
+    assert out.sharding.is_equivalent_to(sharding, 2)
+
+
+def test_wandb_hook_logs_via_mock(monkeypatch):
+    """make_wandb_hook lazily inits a run and logs per step (wandb mocked)."""
+    import sys
+    import types
+
+    logged = []
+    run = types.SimpleNamespace(
+        log=lambda m, step: logged.append((step, m)), finish=lambda: None
+    )
+    fake = types.SimpleNamespace(init=lambda **kw: run)
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from graph_weather_tpu.train.wandb_hook import make_wandb_hook
+
+    hook = make_wandb_hook(project="test-project", config={"a": 1})
+    hook(10, {"loss": 0.5})
+    hook(20, {"loss": 0.25})
+    assert logged == [(10, {"loss": 0.5}), (20, {"loss": 0.25})]
