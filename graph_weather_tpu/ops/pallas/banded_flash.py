@@ -8,16 +8,19 @@ flash-attention online-softmax recurrence over key tiles entirely in
 VMEM: logits never touch HBM, and k/v windows are streamed tile by tile
 straight from the padded arrays (no [nb, window] window copy either).
 
-Two kernel-level design choices (measured on v5e, NOTES.md):
-  * ALL heads are processed inside one grid step (static python loop over
-    head slices of the fused [rows, H*C] layout). The adjacency mask tile
-    — the largest stream — is fetched ONCE per (block, key-tile) instead
-    of once per head, and the grid shrinks H-fold, amortizing Mosaic
-    loop overhead.
-  * Masking is a single additive bias (0 / -1e30) shared across heads
-    instead of two per-head selects; the online max is clamped at -1e28
-    so fully-masked rows keep p == 0 exactly (empty receiver rows produce
-    exact zeros, matching segment-softmax semantics).
+Kernel-level design choices (measured on v5e, NOTES.md):
+  * Heads are processed in GROUPS inside one grid step (static python
+    loop over head slices of the fused [rows, H*C] layout). The adjacency
+    mask tile — a large stream shared by all heads — is fetched once per
+    (block, key-tile, group) instead of once per head, and the grid
+    shrinks by the group size, amortizing Mosaic loop overhead. The group
+    size is chosen automatically as the largest head-count divisor whose
+    VMEM footprint fits (GenCast's 15 concat blocks at C=128 fold all 4
+    heads; the final averaging block at C=512 runs per-head).
+  * Masking is a single additive bias (0 / -1e30) shared across the
+    group's heads instead of two per-head selects; the online max starts
+    at -1e28 so fully-masked rows keep p == 0 exactly (empty receiver
+    rows produce exact zeros, matching segment-softmax semantics).
 
 The backward is hand-written (standard flash bwd, Dao 2023): the forward
 saves the per-row logsumexp; the bwd recomputes P tile-by-tile from
@@ -47,11 +50,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 _KT = 512  # key-tile rows per inner step
 _NEG = -1e30  # additive mask bias for excluded pairs
-_SAFE = -1e28  # online-max clamp: exp(_NEG - _SAFE) == 0, no inf-inf NaNs
+_SAFE = -1e28  # online-max init: exp(_NEG - _SAFE) == 0, no inf-inf NaNs
+_VMEM_BUDGET = 11 * 2**20  # conservative: the axon helper dies past ~16 MB
 
 
-def _head_slices(hc: int, c: int):
-    return [(i, slice(i * c, (i + 1) * c)) for i in range(hc // c)]
+def _pick_group(h: int, est_bytes) -> int:
+    """Largest divisor of h whose estimated VMEM footprint fits."""
+    for g in range(h, 0, -1):
+        if h % g == 0 and est_bytes(g) <= _VMEM_BUDGET:
+            return g
+    return 1
+
+
+def _mask_bias(mask_ref):
+    # 0 where connected, -1e30 elsewhere; shared across the group's heads.
+    return (mask_ref[0, :, :].astype(jnp.float32) - 1.0) * (-_NEG)
 
 
 def _kernel(
@@ -61,7 +74,7 @@ def _kernel(
         lse_ref, acc, m_i, l_i = rest
     else:
         acc, m_i, l_i = rest
-    t = pl.program_id(1)
+    t = pl.program_id(2)
 
     @pl.when(t == 0)
     def _init():
@@ -69,14 +82,14 @@ def _kernel(
         m_i[...] = jnp.full_like(m_i, _SAFE)
         l_i[...] = jnp.zeros_like(l_i)
 
-    # Mask bias shared across heads: 0 where connected, -1e30 elsewhere.
-    bias = (mask_ref[0, :, :].astype(jnp.float32) - 1.0) * (-_NEG)  # [block, KT]
+    bias = _mask_bias(mask_ref)  # [block, KT]
 
-    for i, hs in _head_slices(q_ref.shape[-1], c):
+    for i in range(q_ref.shape[-1] // c):
+        hs = slice(i * c, (i + 1) * c)
+        ls = slice(i * 128, (i + 1) * 128)
         q = q_ref[0, :, hs]  # [block, C]
         k = k_ref[:, hs]  # [KT, C]
         v = v_ref[:, hs]
-        ls = slice(i * 128, (i + 1) * 128)
 
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -85,7 +98,7 @@ def _kernel(
         m_prev = m_i[:, i * 128 : i * 128 + 1]  # [block, 1]
         l_prev = l_i[:, i * 128 : i * 128 + 1]
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
-        # Clamp: fully-masked rows keep m == _SAFE, so exp(_NEG - m) == 0
+        # m starts at _SAFE, so fully-masked rows keep exp(_NEG - m) == 0
         # (no select needed to zero masked probabilities).
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
@@ -100,7 +113,8 @@ def _kernel(
 
     @pl.when(t == n_kt - 1)
     def _finish():
-        for i, hs in _head_slices(q_ref.shape[-1], c):
+        for i in range(q_ref.shape[-1] // c):
+            hs = slice(i * c, (i + 1) * c)
             l = l_i[:, i * 128 : i * 128 + 1]
             out = acc[:, hs] / jnp.maximum(l, 1e-30)  # empty rows: l==0 -> 0
             o_ref[0, :, hs] = out.astype(o_ref.dtype)
@@ -205,20 +219,38 @@ def _flash_impl(q, k, v, band_masks, block, w, interpret, with_lse=False):
     c_true = c
     c, (q, k, v) = _pad_c(c, q, k, v)
     hc = h * c
+    dt = q.dtype.itemsize
 
-    # Fused-head layouts: rows x (H*C). The mask tile (largest stream) is
-    # then shared by every head within a grid step.
+    def est(g):
+        gc = g * c
+        return (
+            block * gc * dt * 2  # q
+            + 2 * _KT * gc * dt * 2  # k, v
+            + block * _KT * 2  # mask
+            + block * gc * dt * 2  # out
+            + (block * g * 128 * 4 * 2 if with_lse else 0)  # lse
+            + block * gc * 4  # acc scratch
+            + 2 * block * g * 128 * 4  # m, l scratch
+        )
+
+    g_sz = _pick_group(h, est)
+    n_g = h // g_sz
+    gc = g_sz * c
+
+    # Fused-head layouts: rows x (H*C); the group dim is blocked off the
+    # lane axis by the index maps.
     q_p = _fuse_heads(q, n_pad).reshape(nb, block, hc)
     k_p = _fuse_heads(jnp.pad(k, ((w, 0), (0, 0), (0, 0))), n_pad + 2 * w)
     v_p = _fuse_heads(jnp.pad(v, ((w, 0), (0, 0), (0, 0))), n_pad + 2 * w)
     masks8 = band_masks.astype(jnp.int8)
 
-    grid = (nb, n_kt)
-    out_specs = [pl.BlockSpec((1, block, hc), lambda b, t: (b, 0, 0))]
+    grid = (nb, n_g, n_kt)
+    bpk = block // _KT
+    out_specs = [pl.BlockSpec((1, block, gc), lambda b, g, t: (b, 0, g))]
     out_shapes = [jax.ShapeDtypeStruct((nb, block, hc), q.dtype)]
     if with_lse:
         out_specs.append(
-            pl.BlockSpec((1, block, h * 128), lambda b, t: (b, 0, 0))
+            pl.BlockSpec((1, block, g_sz * 128), lambda b, g, t: (b, 0, g))
         )
         out_shapes.append(
             jax.ShapeDtypeStruct((nb, block, h * 128), jnp.float32)
@@ -229,22 +261,22 @@ def _flash_impl(q, k, v, band_masks, block, w, interpret, with_lse=False):
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block, hc), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, block, gc), lambda b, g, t: (b, 0, g)),
             # k/v tile row start = b*block + t*KT; block % KT == 0 makes
             # the index exact in KT units.
-            pl.BlockSpec((_KT, hc), lambda b, t: (b * (block // _KT) + t, 0)),
-            pl.BlockSpec((_KT, hc), lambda b, t: (b * (block // _KT) + t, 0)),
-            pl.BlockSpec((1, block, _KT), lambda b, t: (b, 0, t)),
+            pl.BlockSpec((_KT, gc), lambda b, g, t: (b * bpk + t, g)),
+            pl.BlockSpec((_KT, gc), lambda b, g, t: (b * bpk + t, g)),
+            pl.BlockSpec((1, block, _KT), lambda b, g, t: (b, 0, t)),
         ],
         out_specs=out_specs if with_lse else out_specs[0],
         out_shape=out_shapes if with_lse else out_shapes[0],
         scratch_shapes=[
-            pltpu.VMEM((block, hc), jnp.float32),
-            pltpu.VMEM((block, h * 128), jnp.float32),
-            pltpu.VMEM((block, h * 128), jnp.float32),
+            pltpu.VMEM((block, gc), jnp.float32),
+            pltpu.VMEM((block, g_sz * 128), jnp.float32),
+            pltpu.VMEM((block, g_sz * 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")
         ),
         interpret=interpret,
     )(q_p, k_p, v_p, masks8)
@@ -260,15 +292,16 @@ def _dq_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq_ref, acc,
     *, n_kt, scale, c,
 ):
-    t = pl.program_id(1)
+    t = pl.program_id(2)
 
     @pl.when(t == 0)
     def _init():
         acc[...] = jnp.zeros_like(acc)
 
-    bias = (mask_ref[0, :, :].astype(jnp.float32) - 1.0) * (-_NEG)
+    bias = _mask_bias(mask_ref)
 
-    for i, hs in _head_slices(q_ref.shape[-1], c):
+    for i in range(q_ref.shape[-1] // c):
+        hs = slice(i * c, (i + 1) * c)
         q = q_ref[0, :, hs]  # [block, C]
         k = k_ref[:, hs]  # [KT, C]
         v = v_ref[:, hs]
@@ -297,16 +330,17 @@ def _dkv_kernel(
     k_ref, v_ref, q_ref, mask_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dk_acc, dv_acc, *, n_rb, scale, c,
 ):
-    j = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    bias = (mask_ref[0, :, :].astype(jnp.float32) - 1.0) * (-_NEG)
+    bias = _mask_bias(mask_ref)
 
-    for i, hs in _head_slices(q_ref.shape[-1], c):
+    for i in range(q_ref.shape[-1] // c):
+        hs = slice(i * c, (i + 1) * c)
         k = k_ref[:, hs]  # [KT, C] keys of this global tile
         v = v_ref[:, hs]
         q = q_ref[0, :, hs]  # [block, C] receiver block (t - w/KT + j)
@@ -354,6 +388,7 @@ def _flash_bwd_impl(q, k, v, band_masks, out, lse, g, block, w, interpret):
     c, (q, k, v, g_p) = _pad_c(c, q, k, v, g)
     hc = h * c
     in_dtype = q.dtype
+    dt = q.dtype.itemsize
 
     # delta = rowsum(dO * O): cheap XLA elementwise+reduce, then laid out
     # like lse ([nb, block, H*128] broadcast across each head's lanes).
@@ -371,24 +406,39 @@ def _flash_bwd_impl(q, k, v, band_masks, out, lse, g, block, w, interpret):
     v_win = _fuse_heads(jnp.pad(v, ((w, 0), (0, 0), (0, 0))), n_pad + 2 * w)
     masks8 = band_masks.astype(jnp.int8)
 
+    def est_dq(g_sz):
+        gc = g_sz * c
+        return (
+            2 * block * gc * dt * 2  # q, do
+            + 2 * _KT * gc * dt * 2  # k, v
+            + block * _KT * 2  # mask
+            + 2 * block * g_sz * 128 * 4 * 2  # lse, delta
+            + block * gc * dt * 2  # dq out
+            + block * gc * 4  # acc scratch
+        )
+
+    g_dq = _pick_group(h, est_dq)
+    gc_dq = g_dq * c
+
     # ---- dq: same iteration space as the forward -------------------------
+    bpk = block // _KT
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, n_kt=n_kt, scale=scale, c=c),
-        grid=(nb, n_kt),
+        grid=(nb, h // g_dq, n_kt),
         in_specs=[
-            pl.BlockSpec((1, block, hc), lambda b, t: (b, 0, 0)),
-            pl.BlockSpec((_KT, hc), lambda b, t: (b * (block // _KT) + t, 0)),
-            pl.BlockSpec((_KT, hc), lambda b, t: (b * (block // _KT) + t, 0)),
-            pl.BlockSpec((1, block, _KT), lambda b, t: (b, 0, t)),
-            pl.BlockSpec((1, block, hc), lambda b, t: (b, 0, 0)),
-            pl.BlockSpec((1, block, h * 128), lambda b, t: (b, 0, 0)),
-            pl.BlockSpec((1, block, h * 128), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, block, gc_dq), lambda b, g, t: (b, 0, g)),
+            pl.BlockSpec((_KT, gc_dq), lambda b, g, t: (b * bpk + t, g)),
+            pl.BlockSpec((_KT, gc_dq), lambda b, g, t: (b * bpk + t, g)),
+            pl.BlockSpec((1, block, _KT), lambda b, g, t: (b, 0, t)),
+            pl.BlockSpec((1, block, gc_dq), lambda b, g, t: (b, 0, g)),
+            pl.BlockSpec((1, block, g_dq * 128), lambda b, g, t: (b, 0, g)),
+            pl.BlockSpec((1, block, g_dq * 128), lambda b, g, t: (b, 0, g)),
         ],
-        out_specs=pl.BlockSpec((1, block, hc), lambda b, t: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, block, gc_dq), lambda b, g, t: (b, 0, g)),
         out_shape=jax.ShapeDtypeStruct((nb, block, hc), in_dtype),
-        scratch_shapes=[pltpu.VMEM((block, hc), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block, gc_dq), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")
         ),
         interpret=interpret,
     )(q_b, k_win, v_win, masks8, do_b, lse, delta)
@@ -416,35 +466,53 @@ def _flash_bwd_impl(q, k, v, band_masks, out, lse, g, block, w, interpret):
 
     n_tiles = n_pad // _KT
 
+    def est_dkv(g_sz):
+        gc = g_sz * c
+        return (
+            2 * _KT * gc * dt * 2  # k, v
+            + 2 * block * gc * dt * 2  # q, do
+            + block * _KT * 2  # mask
+            + 2 * block * g_sz * 128 * 4 * 2  # lse, delta
+            + 2 * _KT * gc * dt * 2  # dk, dv outs
+            + 2 * _KT * gc * 4  # acc scratches
+        )
+
+    g_kv = _pick_group(h, est_dkv)
+    gc_kv = g_kv * c
+
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, n_rb=n_rb, scale=scale, c=c),
-        grid=(n_tiles, n_rb),
+        grid=(n_tiles, h // g_kv, n_rb),
         in_specs=[
-            pl.BlockSpec((_KT, hc), lambda t, j: (t, 0)),
-            pl.BlockSpec((_KT, hc), lambda t, j: (t, 0)),
-            pl.BlockSpec((1, block, hc), lambda t, j: (t + j, 0, 0)),
-            # mask slot in KT units: 2*wb - j (see header comment).
+            pl.BlockSpec((_KT, gc_kv), lambda t, g, j: (t, g)),
+            pl.BlockSpec((_KT, gc_kv), lambda t, g, j: (t, g)),
+            pl.BlockSpec((1, block, gc_kv), lambda t, g, j: (t + j, 0, g)),
+            # mask slot in KT units: 2*wb - j (see comment above).
             pl.BlockSpec(
-                (1, block, _KT), lambda t, j: (t + j, 0, 2 * wb - j)
+                (1, block, _KT), lambda t, g, j: (t + j, 0, 2 * wb - j)
             ),
-            pl.BlockSpec((1, block, hc), lambda t, j: (t + j, 0, 0)),
-            pl.BlockSpec((1, block, h * 128), lambda t, j: (t + j, 0, 0)),
-            pl.BlockSpec((1, block, h * 128), lambda t, j: (t + j, 0, 0)),
+            pl.BlockSpec((1, block, gc_kv), lambda t, g, j: (t + j, 0, g)),
+            pl.BlockSpec(
+                (1, block, g_kv * 128), lambda t, g, j: (t + j, 0, g)
+            ),
+            pl.BlockSpec(
+                (1, block, g_kv * 128), lambda t, g, j: (t + j, 0, g)
+            ),
         ],
         out_specs=[
-            pl.BlockSpec((_KT, hc), lambda t, j: (t, 0)),
-            pl.BlockSpec((_KT, hc), lambda t, j: (t, 0)),
+            pl.BlockSpec((_KT, gc_kv), lambda t, g, j: (t, g)),
+            pl.BlockSpec((_KT, gc_kv), lambda t, g, j: (t, g)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, hc), in_dtype),
             jax.ShapeDtypeStruct((n_pad, hc), in_dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_KT, hc), jnp.float32),
-            pltpu.VMEM((_KT, hc), jnp.float32),
+            pltpu.VMEM((_KT, gc_kv), jnp.float32),
+            pltpu.VMEM((_KT, gc_kv), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")
         ),
         interpret=interpret,
     )(k_g, v_g, q_pp, masks_pp, do_pp, lse_pp, delta_pp)

@@ -265,18 +265,26 @@ def make_spatial_forward(
         out = out_mlp.apply({"params": p_dec["MLP_1"]}, x_grid)
         return out + feats_loc[..., : mod.output_dim]
 
-    batch_axis = "data" if "data" in mesh.axis_names else None
-    feat_spec = P(batch_axis, axis, None)
     static_spec = jax.tree_util.tree_map(
         lambda v: P(axis, *([None] * (v.ndim - 1))), statics
     )
-    smapped = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), feat_spec, static_spec),
-        out_specs=feat_spec,
-        check_vma=False,
-    )
+
+    def make_smapped(batch: int):
+        # Shard the batch over "data" only when it divides evenly;
+        # otherwise replicate it (e.g. batch-1 inference on a DP mesh).
+        batch_axis = (
+            "data"
+            if "data" in mesh.axis_names and batch % mesh.shape["data"] == 0
+            else None
+        )
+        feat_spec = P(batch_axis, axis, None)
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), feat_spec, static_spec),
+            out_specs=feat_spec,
+            check_vma=False,
+        )
 
     def fn(params, features):
         if compute_dtype is not None:
@@ -291,7 +299,7 @@ def make_spatial_forward(
         pad = n_grid_pad - n
         if pad:
             features = jnp.pad(features, ((0, 0), (0, pad), (0, 0)))
-        out = smapped(params, features, statics)
+        out = make_smapped(b)(params, features, statics)
         out = out[:, :n]
         return out.astype(jnp.float32) if compute_dtype is not None else out
 

@@ -211,3 +211,26 @@ def test_spatial_forecaster_train_step_matches_single_device():
         ),
         p_new, p_ref,
     )
+
+
+def test_spatial_forecaster_res3_mesh_matches_unsharded():
+    """The 0.25-degree configuration's latent mesh (H3 resolution 3,
+    41,162 cells / 288,122 latent edges) through the sharded path: 5-degree
+    grid to keep CPU runtime sane, resolution-3 mesh as at production
+    scale. Exact-match against the unsharded forward."""
+    lat_lons = [
+        (float(a), float(b))
+        for a in np.arange(-90.0, 90.0, 5.0)
+        for b in np.arange(0.0, 360.0, 5.0)
+    ]
+    model = GraphWeatherForecaster(
+        lat_lons, feature_dim=4, aux_dim=2, resolution=3, node_dim=16,
+        edge_dim=16, num_blocks=2, hidden_dim_processor_node=16,
+        hidden_dim_processor_edge=16, hidden_dim_decoder=8,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, len(lat_lons), 6))
+    ref = model.apply(params, x)
+    mesh = make_mesh(8)
+    out = jax.jit(model.spatial_forward_fn(mesh))(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
