@@ -6,7 +6,7 @@ headline forecast steps/sec metric the driver has tracked since round 1.
 
 Metrics (config sources: BASELINE.md round-1 measurements):
   - gencast_denoiser_fwd_ms_splits5   128x64 grid, 512-d, 16 blocks,
-    splits 5 / hops 4, banded_flash, bf16 (r1: 27.9 ms)
+    splits 5 / hops 4, clustered_flash, bf16 (r1: 27.9 ms banded_flash)
   - gencast_denoiser_fwd_ms_splits6   production scale, splits 6 / hops 6
     (40,962 mesh nodes, 5.16M k-hop edges)  (r1: 178.7 ms)
   - gencast_sampler_20step_ms         full DPMSolver++2S, 37 denoiser
@@ -115,7 +115,7 @@ def metric_denoiser(splits: int, hops: int, quick: bool):
         splits=splits,
         num_hops=hops,
         use_edges_features=False,
-        attention_impl="banded_flash",
+        attention_impl="clustered_flash",
     )
     params = den.init(jax.random.PRNGKey(0))
     fwd = jax.jit(den.forward_fn(compute_dtype=jnp.bfloat16))
@@ -129,6 +129,7 @@ def metric_denoiser(splits: int, hops: int, quick: bool):
         grid=f"{nlon}x{nlat}",
         mesh_nodes=int(den.graphs.khop.n_senders),
         dtype="bfloat16",
+        attention_impl="clustered_flash",
     )
 
 
@@ -155,7 +156,7 @@ def metric_sampler(quick: bool):
         splits=splits,
         num_hops=hops,
         use_edges_features=False,
-        attention_impl="banded_flash",
+        attention_impl="clustered_flash",
     )
     params = den.init(jax.random.PRNGKey(0))
     sampler = Sampler(num_steps=steps)

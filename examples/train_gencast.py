@@ -58,12 +58,13 @@ def main():
         hidden_dims=(args.hidden, args.hidden),
         num_blocks=args.blocks, num_heads=4,
         splits=args.splits, num_hops=args.hops,
-        # Fastest processor backend (Pallas flash over spatially-sorted
-        # k-hop bands); drops per-edge features like the reference's
+        # Fastest processor backend (clustered flash: dense masked
+        # attention of each compact receiver block against its gathered
+        # neighbor union); drops per-edge features like the reference's
         # sparse mode. Use the default attention_impl="segment" if you
         # need edge features.
         use_edges_features=False,
-        attention_impl="banded_flash",
+        attention_impl="clustered_flash",
     )
     params = denoiser.init(jax.random.PRNGKey(0))
     loss = WeightedMSELoss(

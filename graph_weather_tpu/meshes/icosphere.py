@@ -33,12 +33,21 @@ class TriangularMesh(NamedTuple):
     faces: np.ndarray
 
 
-def get_icosahedron() -> TriangularMesh:
-    """Regular icosahedron, unit circumsphere, one vertex at the north pole.
+def get_icosahedron(orientation: str = "pole") -> TriangularMesh:
+    """Regular icosahedron with circumscribed unit sphere.
 
-    Orientation differs from the reference (which rotates a face to the top,
-    reference icosahedral_mesh.py:144-148); we place a vertex at the pole,
-    which keeps output symmetric under longitude rotation of the grid.
+    orientation:
+      * "pole" (default): one vertex exactly at the north pole — keeps
+        output symmetric under longitude rotation of the grid.
+      * "graphcast": the reference/GraphCast orientation (reference
+        icosahedral_mesh.py:144-152): the standard coordinates rotated
+        about the y axis by half the supplement of the dihedral angle
+        2*arcsin(phi/sqrt(3)), which puts a face plane on top. Use this to
+        build graphs GEOMETRICALLY identical to the reference's, e.g. when
+        loading weights pretrained against its meshes (vertex ORDER still
+        differs, which is immaterial: GenCast-family models have no
+        per-vertex parameters and are permutation-equivariant over mesh
+        nodes).
     """
     phi = (1.0 + np.sqrt(5.0)) / 2.0
     verts = []
@@ -49,14 +58,27 @@ def get_icosahedron() -> TriangularMesh:
             verts.append([b, 0.0, a])
     verts = normalize_rows(np.asarray(verts, dtype=np.float64))
 
-    # Rotate vertex closest to +z exactly onto the pole.
-    top = verts[np.argmax(verts[:, 2])]
-    z = top
-    x = np.cross([0.0, 1.0, 0.0], z)
-    x = x / np.linalg.norm(x)
-    y = np.cross(z, x)
-    rot = np.stack([x, y, z])
-    verts = verts @ rot.T
+    if orientation == "pole":
+        # Rotate vertex closest to +z exactly onto the pole.
+        top = verts[np.argmax(verts[:, 2])]
+        z = top
+        x = np.cross([0.0, 1.0, 0.0], z)
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        rot = np.stack([x, y, z])
+        verts = verts @ rot.T
+    elif orientation == "graphcast":
+        angle_between_faces = 2.0 * np.arcsin(phi / np.sqrt(3.0))
+        theta = (np.pi - angle_between_faces) / 2.0
+        cos_t, sin_t = np.cos(theta), np.sin(theta)
+        # Rotation about y (matching scipy's Rotation.from_euler("y", t)
+        # applied as vertices @ R, i.e. the inverse rotation of points).
+        rot = np.array(
+            [[cos_t, 0.0, -sin_t], [0.0, 1.0, 0.0], [sin_t, 0.0, cos_t]]
+        )
+        verts = verts @ rot.T
+    else:
+        raise ValueError(f"unknown orientation {orientation!r}")
 
     # Faces from the convex hull, consistently CCW seen from outside.
     from scipy.spatial import ConvexHull
@@ -104,9 +126,11 @@ def split_mesh(mesh: TriangularMesh) -> TriangularMesh:
     return TriangularMesh(vertices=new_vertices, faces=new_faces)
 
 
-def get_hierarchy_of_triangular_meshes_for_sphere(splits: int) -> list[TriangularMesh]:
+def get_hierarchy_of_triangular_meshes_for_sphere(
+    splits: int, orientation: str = "pole"
+) -> list[TriangularMesh]:
     """Icosphere hierarchy from 0 to `splits` subdivisions (coarse first)."""
-    meshes = [get_icosahedron()]
+    meshes = [get_icosahedron(orientation)]
     for _ in range(splits):
         meshes.append(split_mesh(meshes[-1]))
     return meshes

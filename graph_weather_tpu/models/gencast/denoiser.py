@@ -181,16 +181,23 @@ class Denoiser:
         scale_factor: float = 1.0,
         remat: bool = False,
         attention_impl: str = "segment",
+        mesh_orientation: str = "pole",
+        node_layout: str = "consistent",
     ):
-        if attention_impl not in ("segment", "banded", "banded_flash"):
+        if attention_impl not in (
+            "segment", "banded", "banded_flash", "clustered_flash"
+        ):
             raise ValueError(f"unknown attention_impl {attention_impl!r}")
-        if attention_impl.startswith("banded") and use_edges_features:
+        if attention_impl != "segment" and use_edges_features:
             raise ValueError(
                 f"attention_impl={attention_impl!r} requires use_edges_features="
                 "False "
                 "(matching the reference's sparse attention mode, which also "
                 "drops edge features; sparse_transformer.py)"
             )
+        if node_layout not in ("consistent", "reference"):
+            raise ValueError(f"unknown node_layout {node_layout!r}")
+        self.node_layout = node_layout
         self.num_lon = len(grid_lon)
         self.num_lat = len(grid_lat)
         self.input_features_dim = input_features_dim
@@ -202,6 +209,10 @@ class Denoiser:
             splits=splits,
             num_hops=num_hops,
             add_edge_features_to_khop=use_edges_features,
+            # Clustered flash wants compact geodesic receiver blocks;
+            # the banded paths want small index spans (lat-lon sort).
+            spatial_sort="rcb" if attention_impl == "clustered_flash" else True,
+            mesh_orientation=mesh_orientation,
         )
         self.graphs = graphs
         self.g2m = DeviceGraph.from_bundle(graphs.g2m)
@@ -209,6 +220,7 @@ class Denoiser:
             graphs.khop,
             banded=attention_impl.startswith("banded"),
             band_flash=(attention_impl == "banded_flash"),
+            clustered=(attention_impl == "clustered_flash"),
         )
         self.m2g = DeviceGraph.from_bundle(graphs.m2g)
         self.grid_node_feats = jnp.asarray(graphs.grid_node_feats)
@@ -227,12 +239,26 @@ class Denoiser:
         self._jit_init = None
 
     # -- layout helpers: [B, lon, lat, F] <-> lat-major node order ---------
+    # The graphs index grid nodes lat-major (node = lat_i * n_lon + lon_i,
+    # matching the reference's np.meshgrid build, graph_builder.py:164-166),
+    # so data is transposed into that order here. NOTE the reference model
+    # itself flattens its DATA lon-major ("b lon lat f -> b (lon lat) f",
+    # reference denoiser.py:318-319) against its lat-major graphs — i.e. it
+    # places grid data at transposed node positions relative to its own
+    # edges and spatial features. We fix that inconsistency; to reproduce
+    # the reference net function bit-for-bit (e.g. when loading weights
+    # TRAINED with the quirk, like gencast-128x64), pass
+    # node_layout="reference" to the constructor.
     def _to_nodes(self, x: jnp.ndarray) -> jnp.ndarray:
         b, lon, lat, f = x.shape
+        if self.node_layout == "reference":
+            return x.reshape(b, lon * lat, f)
         return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, lat * lon, f)
 
     def _from_nodes(self, x: jnp.ndarray) -> jnp.ndarray:
         b, n, f = x.shape
+        if self.node_layout == "reference":
+            return x.reshape(b, self.num_lon, self.num_lat, f)
         return jnp.transpose(
             x.reshape(b, self.num_lat, self.num_lon, f), (0, 2, 1, 3)
         )

@@ -118,7 +118,8 @@ def build_graphcast_graphs(
     num_hops: int = 0,
     add_edge_features_to_khop: bool = True,
     mesh2grid_edge_normalization_factor: float | None = None,
-    spatial_sort: bool = True,
+    spatial_sort: bool | str = True,
+    mesh_orientation: str = "pole",
 ) -> GraphCastGraphs:
     """Build g2m / mesh / m2g (/ k-hop) bundles for a lon-major grid.
 
@@ -128,19 +129,32 @@ def build_graphcast_graphs(
     note the DATA layout convention of GenCast models is [lon, lat] and is
     transposed accordingly in the model wrapper.
 
-    spatial_sort renumbers MESH vertices by (lat, lon): subdivision order
-    scatters spatial neighbors across the index space, so sorting makes the
-    k-hop attention's neighbor gathers near-contiguous (HBM locality).
-    Purely an internal relabeling — node features and all edge indices are
-    permuted consistently.
+    spatial_sort renumbers MESH vertices: subdivision order scatters
+    spatial neighbors across the index space. True/"latlon" sorts by
+    (lat, lon) — near-contiguous gathers and small band spans (banded
+    attention). "rcb" orders by recursive coordinate bisection so every
+    aligned 512-vertex slice is a compact geodesic patch — the layout the
+    clustered flash attention needs (meshes/clustering.py). Purely an
+    internal relabeling — node features and all edge indices are permuted
+    consistently.
     """
     grid_lon = np.asarray(grid_lon, dtype=np.float64)
     grid_lat = np.asarray(grid_lat, dtype=np.float64)
-    mesh = get_hierarchy_of_triangular_meshes_for_sphere(splits)[-1]
+    # mesh_orientation="graphcast" reproduces the reference's icosahedron
+    # rotation (geometry-identical graphs, e.g. for pretrained weights);
+    # the default "pole" keeps a vertex at the north pole.
+    mesh = get_hierarchy_of_triangular_meshes_for_sphere(
+        splits, orientation=mesh_orientation
+    )[-1]
     if spatial_sort:
-        from graph_weather_tpu.meshes.spherical import canonical_point_order
+        if spatial_sort == "rcb":
+            from graph_weather_tpu.meshes.clustering import rcb_order
 
-        order = canonical_point_order(mesh.vertices)
+            order = rcb_order(mesh.vertices, leaf=512)
+        else:
+            from graph_weather_tpu.meshes.spherical import canonical_point_order
+
+            order = canonical_point_order(mesh.vertices)
         inverse = np.empty_like(order)
         inverse[order] = np.arange(order.shape[0])
         mesh = TriangularMesh(

@@ -176,6 +176,34 @@ class GraphTransformerConv(nn.Module):
         k = TorchLinear(h * c)(x)
         v = TorchLinear(h * c)(x)
 
+        if graph.cluster_ids is not None and (
+            not self.use_edge_features or edge_attr is None
+        ):
+            # Clustered (gathered-neighbor) flash path: per receiver block,
+            # dense masked attention against its neighbor union — 4x+ less
+            # kernel work than banded at production scale (the band window
+            # is mostly masked-out; see ops/pallas/clustered_flash.py).
+            from graph_weather_tpu.ops.pallas.clustered_flash import (
+                clustered_flash_attention,
+            )
+
+            def heads4c(t):
+                return t.reshape(t.shape[:-1] + (h, c))
+
+            fl = functools.partial(
+                clustered_flash_attention,
+                gather_ids=graph.cluster_ids,
+                masks=graph.cluster_masks,
+                block=graph.cluster_block,
+                interpret=jax.default_backend() == "cpu",
+            )
+            q4, k4, v4 = heads4c(q), heads4c(k), heads4c(v)
+            for _ in range(q4.ndim - 3):
+                fl = jax.vmap(fl)
+            out = fl(q4, k4, v4)
+            out = out.reshape(out.shape[:-2] + (h * c,))
+            return self._combine(x, out, h, c)
+
         if graph.band_masks is not None and (
             not self.use_edge_features or edge_attr is None
         ):

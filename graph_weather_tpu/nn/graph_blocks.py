@@ -53,11 +53,14 @@ class DeviceGraph:
     csr_edge_ids: Optional[jnp.ndarray]  # [N_dst, K] or None
     csr_mask: Optional[jnp.ndarray]  # [N_dst, K] or None
     band_masks: Optional[jnp.ndarray] = None  # [nb, block, block+2w] or None
+    cluster_ids: Optional[jnp.ndarray] = None  # [nb, U_pad] or None
+    cluster_masks: Optional[jnp.ndarray] = None  # [nb, block, U_pad] or None
     n_senders: int = flax.struct.field(pytree_node=False, default=0)
     n_receivers: int = flax.struct.field(pytree_node=False, default=0)
     band_block: int = flax.struct.field(pytree_node=False, default=0)
     band_w: int = flax.struct.field(pytree_node=False, default=0)
     band_flash: bool = flax.struct.field(pytree_node=False, default=False)
+    cluster_block: int = flax.struct.field(pytree_node=False, default=0)
 
     @classmethod
     def from_bundle(
@@ -67,6 +70,8 @@ class DeviceGraph:
         banded: bool = False,
         band_block: int = 512,
         band_flash: bool = False,
+        clustered: bool = False,
+        cluster_block: int = 512,
     ) -> "DeviceGraph":
         if use_csr is None:
             counts = np.bincount(bundle.receivers, minlength=bundle.n_receivers)
@@ -99,6 +104,16 @@ class DeviceGraph:
                     block=band_block, w=band_w,
                 )
             )
+        cluster_ids = cluster_masks = None
+        if clustered:
+            from graph_weather_tpu.meshes.clustering import build_cluster_layout
+
+            layout = build_cluster_layout(
+                bundle.senders, bundle.receivers,
+                bundle.n_receivers, bundle.n_senders, block=cluster_block,
+            )
+            cluster_ids = jnp.asarray(layout.gather_ids)
+            cluster_masks = jnp.asarray(layout.masks)
         senders, receivers, edge_attr = bundle.device_arrays()
         return cls(
             senders=senders,
@@ -107,11 +122,14 @@ class DeviceGraph:
             csr_edge_ids=csr_ids,
             csr_mask=csr_mask,
             band_masks=band_masks,
+            cluster_ids=cluster_ids,
+            cluster_masks=cluster_masks,
             n_senders=bundle.n_senders,
             n_receivers=bundle.n_receivers,
             band_block=band_block if banded else 0,
             band_w=band_w,
             band_flash=banded and band_flash,
+            cluster_block=cluster_block if clustered else 0,
         )
 
     def aggregate(self, edge_feats: jnp.ndarray) -> jnp.ndarray:

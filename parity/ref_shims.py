@@ -92,6 +92,13 @@ def _make_torch_geometric():
                 setattr(self, k, v)
             self._keys = list(kwargs)
 
+        def __getattr__(self, name):
+            # PyG Data yields None for unset attributes (e.g. edge_attr
+            # when edge features are disabled).
+            if name.startswith("_"):
+                raise AttributeError(name)
+            return None
+
         def to(self, device):
             for k in self._keys:
                 v = getattr(self, k)
@@ -99,8 +106,30 @@ def _make_torch_geometric():
                     setattr(self, k, v.to(device))
             return self
 
-    class HeteroData(Data):
-        pass
+    class _Storage:
+        """Node/edge-type storage namespace of a HeteroData."""
+
+        def to(self, device):
+            for k, v in list(vars(self).items()):
+                if hasattr(v, "to"):
+                    setattr(self, k, v.to(device))
+            return self
+
+    class HeteroData:
+        """PyG-style heterogeneous graph container: data["type"].attr."""
+
+        def __init__(self):
+            self._stores = {}
+
+        def __getitem__(self, key):
+            if key not in self._stores:
+                self._stores[key] = _Storage()
+            return self._stores[key]
+
+        def to(self, device):
+            for s in self._stores.values():
+                s.to(device)
+            return self
 
     def knn(x, y, k, batch_x=None, batch_y=None):
         """For each y[i], its k nearest x — returns [2, k*len(y)] of
@@ -130,7 +159,108 @@ def _make_torch_geometric():
             raise NotImplementedError(reduce)
         return out
 
+    def segment_softmax(alpha, index, num_nodes):
+        """PyG `softmax(src, index)`: per-receiver-segment softmax."""
+        m = torch.full(
+            (num_nodes,) + alpha.shape[1:], float("-inf"), device=alpha.device
+        )
+        m = m.scatter_reduce(
+            0, index.view(-1, *([1] * (alpha.dim() - 1))).expand_as(alpha),
+            alpha, reduce="amax", include_self=True,
+        )
+        e = torch.exp(alpha - m[index])
+        s = torch.zeros_like(m).scatter_add_(
+            0, index.view(-1, *([1] * (alpha.dim() - 1))).expand_as(e), e
+        )
+        return e / s[index].clamp(min=1e-16)
+
+    class MessagePassing(torch.nn.Module):
+        """Minimal PyG MessagePassing: add-aggregation, source_to_target.
+
+        Supports the InteractionNetwork pattern (reference
+        gencast/layers/modules.py:70-157): propagate(edge_index, x=(xs,xr),
+        edge_attr=..., size=...) -> scatter_add(message(x_i, x_j, e)).
+        """
+
+        def __init__(self, aggr="add", flow="source_to_target", node_dim=0):
+            super().__init__()
+            assert aggr == "add" and flow == "source_to_target"
+
+        def propagate(self, edge_index, x, edge_attr=None, size=None):
+            src, dst = edge_index[0], edge_index[1]
+            x_s, x_r = x if isinstance(x, tuple) else (x, x)
+            n_out = size[1] if size is not None else x_r.shape[0]
+            msg = self.message(x_r[dst], x_s[src], edge_attr)
+            out = torch.zeros(
+                (n_out,) + msg.shape[1:], dtype=msg.dtype, device=msg.device
+            )
+            return out.scatter_add_(
+                0, dst.view(-1, *([1] * (msg.dim() - 1))).expand_as(msg), msg
+            )
+
+    class TransformerConv(torch.nn.Module):
+        """Faithful PyG TransformerConv (UniMP; Shi et al. 2021) forward:
+        q_i k_j attention with optional edge features added to key/value,
+        per-receiver softmax, concat/mean heads, root skip + beta gate
+        (gate input order [out, x_r, out - x_r] as in PyG)."""
+
+        def __init__(
+            self, in_channels, out_channels, heads=1, concat=True,
+            beta=False, dropout=0.0, edge_dim=None, bias=True,
+            root_weight=True,
+        ):
+            super().__init__()
+            H, C = heads, out_channels
+            self.heads, self.out_channels = H, C
+            self.concat, self.edge_dim = concat, edge_dim
+            self.root_weight = root_weight
+            self.lin_key = torch.nn.Linear(in_channels, H * C)
+            self.lin_query = torch.nn.Linear(in_channels, H * C)
+            self.lin_value = torch.nn.Linear(in_channels, H * C)
+            if edge_dim is not None:
+                self.lin_edge = torch.nn.Linear(edge_dim, H * C, bias=False)
+            final = H * C if concat else C
+            if root_weight:
+                self.lin_skip = torch.nn.Linear(in_channels, final, bias=bias)
+                if beta:
+                    self.lin_beta = torch.nn.Linear(3 * final, 1, bias=False)
+                else:
+                    self.lin_beta = None
+
+        def forward(self, x, edge_index, edge_attr=None):
+            H, C = self.heads, self.out_channels
+            src, dst = edge_index[0], edge_index[1]
+            q = self.lin_query(x).view(-1, H, C)[dst]
+            k = self.lin_key(x).view(-1, H, C)[src]
+            v = self.lin_value(x).view(-1, H, C)[src]
+            if self.edge_dim is not None and edge_attr is not None:
+                e = self.lin_edge(edge_attr).view(-1, H, C)
+                k = k + e
+                v = v + e
+            alpha = (q * k).sum(-1) / (C**0.5)  # [E, H]
+            alpha = segment_softmax(alpha, dst, x.shape[0])
+            msg = v * alpha.unsqueeze(-1)
+            out = torch.zeros(
+                (x.shape[0], H, C), dtype=msg.dtype, device=msg.device
+            ).scatter_add_(0, dst.view(-1, 1, 1).expand_as(msg), msg)
+            out = out.reshape(-1, H * C) if self.concat else out.mean(dim=1)
+            if self.root_weight:
+                x_r = self.lin_skip(x)
+                if self.lin_beta is not None:
+                    b = torch.sigmoid(
+                        self.lin_beta(torch.cat([out, x_r, out - x_r], -1))
+                    )
+                    out = b * x_r + (1 - b) * out
+                else:
+                    out = out + x_r
+            return out
+
+    tg_nn_conv = types.ModuleType("torch_geometric.nn.conv")
+    tg_nn_conv.TransformerConv = TransformerConv
     tg_nn.MetaLayer = MetaLayer
+    tg_nn.MessagePassing = MessagePassing
+    tg_nn.TransformerConv = TransformerConv
+    tg_nn.conv = tg_nn_conv
     tg_nn_pool.knn = knn
     tg_nn.pool = tg_nn_pool
     tg_data.Data = Data
@@ -142,6 +272,7 @@ def _make_torch_geometric():
     return {
         "torch_geometric": tg,
         "torch_geometric.nn": tg_nn,
+        "torch_geometric.nn.conv": tg_nn_conv,
         "torch_geometric.nn.pool": tg_nn_pool,
         "torch_geometric.data": tg_data,
         "torch_geometric.utils": tg_utils,
@@ -228,22 +359,86 @@ class _AutoStub(types.ModuleType):
     def __getattr__(self, name):
         if name.startswith("__"):
             raise AttributeError(name)
+        return _StubAttr(f"{self.__name__}.{name}")
 
-        def _fail(*a, **k):
-            raise NotImplementedError(
-                f"stubbed module {self.__name__}.{name} was called"
-            )
 
-        return _fail
+class _StubAttr:
+    """Inert placeholder: supports further attribute access (so type
+    annotations like dglsp.SparseMatrix resolve) but raises if called."""
+
+    def __init__(self, path):
+        self._path = path
+
+    def __getattr__(self, name):
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return _StubAttr(f"{self._path}.{name}")
+
+    def __call__(self, *a, **k):
+        raise NotImplementedError(f"stubbed {self._path} was called")
 
 
 _DATA_STUBS = [
     "anemoi", "anemoi.datasets", "xarray", "zarr", "pysolar", "pysolar.solar",
     "pysolar.util", "fsspec", "icechunk", "nnja", "nnja.io", "nnja_ai",
-    "trimesh", "natten", "natten.functional", "dgl", "dgl.sparse",
-    "torch_harmonics", "healpy", "dacite", "torchvision",
+    "natten", "natten.functional", "dgl", "dgl.sparse",
+    "torch_harmonics", "healpy", "torchvision",
     "torchvision.transforms",
 ]
+
+
+def _make_dacite():
+    """Minimal working dacite.from_dict (the reference only uses flat and
+    one-level-nested dataclass configs)."""
+    import dataclasses
+
+    mod = types.ModuleType("dacite")
+
+    def from_dict(data_class, data, config=None):
+        kwargs = {}
+        for f in dataclasses.fields(data_class):
+            if f.name not in data:
+                continue
+            v = data[f.name]
+            if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
+                v = from_dict(f.type, v)
+            kwargs[f.name] = v
+        return data_class(**kwargs)
+
+    mod.from_dict = from_dict
+    mod.Config = type("Config", (), {"__init__": lambda self, **k: None})
+    return mod
+
+
+def _make_trimesh():
+    """trimesh.Trimesh + proximity.closest_point, backed by the framework's
+    gnomonic containing-triangle query (meshes/connectivity.py). On a
+    convex sphere mesh the face with the closest surface point IS the
+    radially containing face, which is all the reference uses it for
+    (reference gencast/graph/grid_mesh_connectivity.py:116-119)."""
+    mod = types.ModuleType("trimesh")
+    prox = types.ModuleType("trimesh.proximity")
+
+    class Trimesh:
+        def __init__(self, vertices=None, faces=None):
+            self.vertices = np.asarray(vertices, dtype=np.float64)
+            self.faces = np.asarray(faces)
+
+    def closest_point(mesh, points):
+        from graph_weather_tpu.meshes.connectivity import containing_triangles
+        from graph_weather_tpu.meshes.icosphere import TriangularMesh
+
+        pts = np.asarray(points, dtype=np.float64)
+        pts = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+        fidx = containing_triangles(
+            pts, TriangularMesh(vertices=mesh.vertices, faces=mesh.faces)
+        )
+        return None, None, fidx
+
+    prox.closest_point = closest_point
+    mod.Trimesh = Trimesh
+    mod.proximity = prox
+    return {"trimesh": mod, "trimesh.proximity": prox}
 
 
 def install() -> None:
@@ -254,6 +449,13 @@ def install() -> None:
         sys.modules.update(_make_torch_geometric())
     if "h3" not in sys.modules:
         sys.modules["h3"] = _make_h3()
+    if "trimesh" not in sys.modules:
+        sys.modules.update(_make_trimesh())
+    if "dacite" not in sys.modules:
+        try:
+            import dacite  # noqa: F401
+        except ImportError:
+            sys.modules["dacite"] = _make_dacite()
     for name in _DATA_STUBS:
         if name not in sys.modules:
             try:

@@ -131,9 +131,22 @@ def _gencast_mlp(sd, prefix, n_linear, norm=True):
 
 
 def _interaction_network(sd, prefix, n_linear):
-    """reference InteractionNetwork (modules.py:70) -> ours."""
+    """reference InteractionNetwork (modules.py:70) -> ours.
+
+    The reference's message MLP concatenates [x_i(receiver), x_j(sender),
+    e] (modules.py:124); ours takes [sender, receiver, e] — swap the first
+    layer's receiver/sender input-row blocks. In GenCast both node dims
+    equal the edge dim (everything is the hidden size), so the input
+    splits into equal thirds.
+    """
+    edges = _gencast_mlp(sd, f"{prefix}.mlp_edges", n_linear)
+    k = edges["TorchLinear_0"]["kernel"]  # [recv+send+edge, H]
+    third = k.shape[0] // 3
+    edges["TorchLinear_0"]["kernel"] = np.concatenate(
+        [k[third : 2 * third], k[:third], k[2 * third :]], axis=0
+    )
     return {
-        "GenCastMLP_0": _gencast_mlp(sd, f"{prefix}.mlp_edges", n_linear),
+        "GenCastMLP_0": edges,
         "GenCastMLP_1": _gencast_mlp(sd, f"{prefix}.mlp_nodes", n_linear),
     }
 
@@ -151,6 +164,12 @@ def _transformer_conv(sd, prefix):
     PyG names: lin_query/lin_key/lin_value (+lin_edge, lin_skip, lin_beta).
     Ours (modules.py GraphTransformerConv): TorchLinear_{0,1,2} = q,k,v;
     TorchLinear_3 = edge (optional, bias-free); skip/beta at the tail.
+
+    The beta-gate input order differs: PyG feeds [out, x_r, out - x_r]
+    (torch_geometric/nn/conv/transformer_conv.py), ours [skip, out,
+    skip - out]. With chunks (W1, W2, W3) of PyG's lin_beta, the gate
+    W1 out + W2 x_r + W3 (out - x_r) equals our V1 skip + V2 out +
+    V3 (skip - out) for V = (W2 - W3, W1 + W3, 0).
     """
     out = {
         "TorchLinear_0": _linear(sd, f"{prefix}.lin_query"),
@@ -164,9 +183,10 @@ def _transformer_conv(sd, prefix):
         }
         nxt += 1
     out[f"TorchLinear_{nxt}"] = _linear(sd, f"{prefix}.lin_skip")
-    out[f"TorchLinear_{nxt + 1}"] = {
-        "kernel": np.ascontiguousarray(sd[f"{prefix}.lin_beta.weight"].T)
-    }
+    w = np.asarray(sd[f"{prefix}.lin_beta.weight"])  # [1, 3F]
+    w1, w2, w3 = np.split(w, 3, axis=1)
+    v = np.concatenate([w2 - w3, w1 + w3, np.zeros_like(w3)], axis=1)
+    out[f"TorchLinear_{nxt + 1}"] = {"kernel": np.ascontiguousarray(v.T)}
     return out
 
 
@@ -185,7 +205,7 @@ def convert_denoiser(
         "GenCastMLP_1": _gencast_mlp(sd, "encoder.mesh_mlp", n_lin),
         "GenCastMLP_2": _gencast_mlp(sd, "encoder.edges_mlp", n_lin),
         "InteractionNetwork_0": _interaction_network(sd, "encoder.gnn", n_lin),
-        "GenCastMLP_3": _gencast_mlp(sd, "encoder.grid_mlp2", n_lin),
+        "GenCastMLP_3": _gencast_mlp(sd, "encoder.grid_mlp_final", n_lin),
     }
     blocks = {}
     for i in range(num_blocks):
@@ -203,12 +223,13 @@ def convert_denoiser(
         },
         **blocks,
     }
+    if "processor.edges_mlp.linears.0.weight" in sd:
+        # Present when the processor consumes k-hop edge features.
+        proc["GenCastMLP_0"] = _gencast_mlp(sd, "processor.edges_mlp", n_lin)
     dec = {
         "GenCastMLP_0": _gencast_mlp(sd, "decoder.edges_mlp", n_lin),
         "InteractionNetwork_0": _interaction_network(sd, "decoder.gnn", n_lin),
-        "GenCastMLP_1": _gencast_mlp(
-            sd, "decoder.output_mlp", n_lin, norm=False
-        ),
+        "GenCastMLP_1": _gencast_mlp(sd, "decoder.grid_mlp_final", n_lin),
     }
     return {
         "params": {

@@ -214,3 +214,112 @@ class TestBandedFlash:
         # Empty receiver rows: zero output AND zero dq.
         assert np.all(np.asarray(out)[0] == 0.0)
         assert np.all(np.asarray(g_fl[0])[0] == 0.0)
+
+
+class TestClusteredFlash:
+    """Clustered (gathered-neighbor) flash attention vs the XLA banded
+    path / plain segment softmax — works for arbitrary static graphs."""
+
+    def _random_graph(self, rng, n, deg):
+        senders, receivers = [], []
+        for r in range(n):
+            s = np.unique(rng.integers(0, n, size=deg))
+            senders.extend(s.tolist())
+            receivers.extend([r] * len(s))
+        pairs = np.unique(np.stack([receivers, senders], 1), axis=0)
+        return pairs[:, 1].astype(np.int32), pairs[:, 0].astype(np.int32)
+
+    def _dense_ref(self, q, k, v, s_ids, r_ids, n):
+        mask = np.zeros((n, n), bool)
+        mask[r_ids, s_ids] = True
+        mask = jnp.asarray(mask)
+        logits = jnp.einsum("nhc,mhc->hnm", q, k) / np.sqrt(q.shape[-1])
+        logits = jnp.where(mask[None], logits, -1e30)
+        p = jax.nn.softmax(logits, axis=-1)
+        p = jnp.where(mask[None], p, 0.0)
+        return jnp.einsum("hnm,mhc->nhc", p, v)
+
+    @pytest.mark.parametrize("c", [128, 16])
+    def test_matches_dense_and_grads(self, c):
+        from graph_weather_tpu.meshes.clustering import build_cluster_layout
+        from graph_weather_tpu.ops.pallas.clustered_flash import (
+            clustered_flash_attention,
+        )
+
+        rng = np.random.default_rng(3)
+        n, h, block = 1200, 2, 512
+        s_ids, r_ids = self._random_graph(rng, n, deg=7)
+        keep = ~np.isin(r_ids, [0, 513, 1199])  # empty receiver rows
+        s_ids, r_ids = s_ids[keep], r_ids[keep]
+        layout = build_cluster_layout(s_ids, r_ids, n, n, block=block)
+        ids = jnp.asarray(layout.gather_ids)
+        masks = jnp.asarray(layout.masks)
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((n, h, c)), jnp.float32)
+            for _ in range(3)
+        )
+        cot = jnp.asarray(rng.standard_normal((n, h, c)), jnp.float32)
+
+        out = clustered_flash_attention(q, k, v, ids, masks, block, interpret=True)
+        ref = self._dense_ref(q, k, v, s_ids, r_ids, n)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        assert np.all(np.asarray(out)[0] == 0.0)  # empty rows exact zeros
+
+        def loss_fl(q, k, v):
+            return jnp.sum(
+                clustered_flash_attention(q, k, v, ids, masks, block, interpret=True)
+                * cot
+            )
+
+        def loss_ref(q, k, v):
+            return jnp.sum(self._dense_ref(q, k, v, s_ids, r_ids, n) * cot)
+
+        g_fl = jax.grad(loss_fl, argnums=(0, 1, 2))(q, k, v)
+        g_rf = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("q k v".split(), g_fl, g_rf):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-4, err_msg=f"d{name}"
+            )
+
+    def test_denoiser_clustered_matches_segment(self, monkeypatch):
+        """End-to-end: Denoiser(attention_impl='clustered_flash') output
+        equals the segment-softmax path (same weights, no edge feats).
+
+        The segment denoiser is forced onto the same RCB mesh ordering —
+        orderings are mathematically equivalent but reorder f32 summations
+        (measured: up to ~4e-4 output drift through 2 blocks), which would
+        mask a genuine kernel discrepancy at this tolerance."""
+        import graph_weather_tpu.models.gencast.denoiser as dmod
+        from graph_weather_tpu.models.gencast import Denoiser
+
+        grid_lon = np.arange(0, 360, 360 / 32)
+        grid_lat = np.linspace(-90, 90, 16)
+        kw = dict(
+            grid_lon=grid_lon, grid_lat=grid_lat, input_features_dim=3,
+            output_features_dim=2, hidden_dims=(16, 16), num_blocks=2,
+            num_heads=2, splits=2, num_hops=2, use_edges_features=False,
+        )
+        den_c = Denoiser(attention_impl="clustered_flash", **kw)
+        orig = dmod.build_graphcast_graphs
+
+        def forced_rcb(*a, **k):
+            k["spatial_sort"] = "rcb"
+            return orig(*a, **k)
+
+        monkeypatch.setattr(dmod, "build_graphcast_graphs", forced_rcb)
+        den_s = Denoiser(attention_impl="segment", **kw)
+        monkeypatch.undo()
+        params = den_c.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(7)
+        tgt = jnp.asarray(rng.normal(size=(1, 32, 16, 2)), jnp.float32)
+        prev = jnp.asarray(rng.normal(size=(1, 32, 16, 6)), jnp.float32)
+        noise = jnp.full((1, 1), 0.5)
+        out_c = den_c.forward_fn()(params, tgt, prev, noise)
+        out_s = den_s.forward_fn()(params, tgt, prev, noise)
+        # Wiring check: kernel numerics are pinned at 2e-5 by
+        # test_matches_dense_and_grads; through 2 conditioned-norm blocks
+        # the flash-vs-segment softmax accumulation-order drift reaches
+        # ~4e-4 (same magnitude round 1 measured for banded-vs-segment).
+        np.testing.assert_allclose(
+            np.asarray(out_c), np.asarray(out_s), atol=1e-3
+        )
