@@ -366,3 +366,86 @@ class Denoiser:
 
     def __call__(self, params, corrupted_targets, prev_inputs, noise_levels):
         return self.apply(params, corrupted_targets, prev_inputs, noise_levels)
+
+    @classmethod
+    def from_pretrained(cls, repo_id_or_path: str, **overrides):
+        """Load a reference-format pretrained Denoiser -> (denoiser, params).
+
+        Equivalent of the reference's HF-hub mixin
+        (`Denoiser.from_pretrained("openclimatefix/gencast-128x64")`,
+        reference tests/test_gencast.py:165-182 via PyTorchModelHubMixin):
+        accepts a local directory or a HuggingFace Hub repo id containing
+        config.json + model.safetensors (or pytorch_model.bin), converts
+        the torch state_dict with scripts/convert_torch.convert_denoiser,
+        and builds the Denoiser in REFERENCE-compatible mode
+        (mesh_orientation="graphcast", node_layout="reference") so the
+        loaded weights compute the same function they were trained as.
+        Keyword overrides are passed to the constructor (e.g.
+        attention_impl="clustered_flash" — requires a checkpoint trained
+        with use_edges_features=False).
+        """
+        import json
+        import os
+
+        if os.path.isdir(repo_id_or_path):
+            cfg_path = os.path.join(repo_id_or_path, "config.json")
+            weights = None
+            for name in ("model.safetensors", "pytorch_model.bin"):
+                p = os.path.join(repo_id_or_path, name)
+                if os.path.exists(p):
+                    weights = p
+                    break
+        else:
+            from huggingface_hub import hf_hub_download
+
+            cfg_path = hf_hub_download(repo_id_or_path, "config.json")
+            try:
+                weights = hf_hub_download(repo_id_or_path, "model.safetensors")
+            except Exception:
+                weights = hf_hub_download(repo_id_or_path, "pytorch_model.bin")
+        if weights is None:
+            raise FileNotFoundError(
+                f"no model.safetensors / pytorch_model.bin in {repo_id_or_path}"
+            )
+
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        if weights.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            sd = load_file(weights)
+        else:
+            import torch
+
+            raw = torch.load(weights, map_location="cpu", weights_only=True)
+            sd = {k: v.numpy() for k, v in raw.items()}
+
+        kwargs = dict(
+            grid_lon=np.asarray(cfg["grid_lon"], dtype=np.float64),
+            grid_lat=np.asarray(cfg["grid_lat"], dtype=np.float64),
+            input_features_dim=cfg["input_features_dim"],
+            output_features_dim=cfg["output_features_dim"],
+            hidden_dims=tuple(cfg.get("hidden_dims", (512, 512))),
+            num_blocks=cfg.get("num_blocks", 16),
+            num_heads=cfg.get("num_heads", 4),
+            splits=cfg.get("splits", 6),
+            num_hops=cfg.get("num_hops", 6),
+            use_edges_features=cfg.get("use_edges_features", True),
+            scale_factor=cfg.get("scale_factor", 1.0),
+            mesh_orientation="graphcast",
+            node_layout="reference",
+        )
+        kwargs.update(overrides)
+        denoiser = cls(**kwargs)
+
+        from graph_weather_tpu.convert import convert_denoiser
+
+        params = jax.tree_util.tree_map(
+            jnp.asarray,
+            convert_denoiser(
+                sd,
+                num_blocks=kwargs["num_blocks"],
+                mlp_hidden_dims=len(kwargs["hidden_dims"]),
+            ),
+        )
+        return denoiser, params

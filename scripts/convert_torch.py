@@ -1,272 +1,23 @@
-"""Convert reference (PyTorch) state_dicts to graph_weather_tpu param trees.
+"""CLI for converting reference (PyTorch) state_dicts to flax param trees.
 
-Works on plain `{name: numpy array}` dicts, so torch is NOT required — load
-a checkpoint elsewhere with `torch.load(...)['state_dict']` and pass
-`{k: v.numpy() for k, v in sd.items()}`, or hand this script a .npz.
+Thin wrapper around graph_weather_tpu.convert (see that module for the
+mapping documentation).
 
-Mappings implemented:
-  * GraphWeatherForecaster  (reference models/forecast.py:61) ->
-    graph_weather_tpu.GraphWeatherForecaster param tree.
-  * GenCast Denoiser        (reference models/gencast/denoiser.py:66) ->
-    graph_weather_tpu.models.gencast.Denoiser param tree.
-
-Conventions handled:
-  * torch Linear stores [out, in]; flax kernels are [in, out] (transpose).
-  * torch nn.Sequential indices (model.0/2/4 = linears, trailing odd index
-    = post-output norm) -> TorchLinear_k / LayerNorm_0.
-  * the reference encoder/decoder index H3 rows in REVERSED sorted-cell
-    order (reference models/layers/encoder.py:80-85: h_index counts down),
-    so the learnable `h3_nodes` table is row-reversed into our cell-order
-    `mesh_nodes`. NOTE the reference's latent PROCESSOR graph uses
-    ascending order against those reversed rows (encoder.py:244-268 via
-    base_h3_map) — reproducing that net function therefore also needs the
-    reversal-conjugated latent graph; see parity/generate_goldens.py.
-
-CLI: python scripts/convert_torch.py --model forecaster --in sd.npz --out params.msgpack
+Usage:
+  python scripts/convert_torch.py --model forecaster --inp sd.npz --out params.msgpack
+  python scripts/convert_torch.py --model denoiser --inp ckpt.pt --out params.msgpack
 """
 
-from __future__ import annotations
+import os
+import sys
 
-import argparse
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
-
-def _linear(sd, prefix):
-    return {
-        "kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T),
-        "bias": np.asarray(sd[f"{prefix}.bias"]),
-    }
-
-
-def _mlp(sd, prefix, hidden_layers=2, norm=True):
-    """reference MLP (graph_net_block.py:17) -> our nn.mlp.MLP params."""
-    out = {}
-    n_linear = hidden_layers + 1
-    for i in range(n_linear):
-        out[f"TorchLinear_{i}"] = _linear(sd, f"{prefix}.model.{2 * i}")
-    if norm:
-        idx = 2 * n_linear - 1
-        out["LayerNorm_0"] = {
-            "scale": np.asarray(sd[f"{prefix}.model.{idx}.weight"]),
-            "bias": np.asarray(sd[f"{prefix}.model.{idx}.bias"]),
-        }
-    return out
-
-
-def _processor_block(sd, prefix, hidden_layers=2):
-    """reference MetaLayer block (edge_model/node_model) -> our
-    GraphProcessorBlock {EdgeBlock_0, NodeBlock_0} params."""
-    return {
-        "EdgeBlock_0": {
-            "MLP_0": _mlp(sd, f"{prefix}.edge_model.edge_mlp", hidden_layers)
-        },
-        "NodeBlock_0": {
-            "MLP_0": _mlp(sd, f"{prefix}.node_model.node_mlp", hidden_layers)
-        },
-    }
-
-
-def convert_forecaster(
-    sd: dict,
-    num_blocks: int = 9,
-    hidden_layers_processor: int = 2,
-    hidden_layers_decoder: int = 2,
-) -> dict:
-    """Reference GraphWeatherForecaster state_dict -> flax params."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
-    encoder = {
-        # reference h3_nodes row g holds the feature of sorted cell
-        # (N-1-g); our mesh_nodes is cell-ordered -> reverse rows.
-        "mesh_nodes": sd["encoder.h3_nodes"][::-1].copy(),
-        "MLP_0": _mlp(sd, "encoder.node_encoder", hidden_layers_processor),
-        "MLP_1": _mlp(sd, "encoder.edge_encoder", hidden_layers_processor),
-        "MLP_2": _mlp(sd, "encoder.latent_edge_encoder", hidden_layers_processor),
-        "GraphProcessorBlock_0": _processor_block(
-            sd, "encoder.graph_processor.blocks.0", hidden_layers_processor
-        ),
-    }
-    processor = {
-        "GraphProcessor_0": {
-            f"GraphProcessorBlock_{i}": _processor_block(
-                sd, f"processor.graph_processor.blocks.{i}",
-                hidden_layers_processor,
-            )
-            for i in range(num_blocks)
-        }
-    }
-    decoder = {
-        "MLP_0": _mlp(sd, "decoder.edge_encoder", 2),
-        "GraphProcessorBlock_0": _processor_block(
-            sd, "decoder.graph_processor.blocks.0", hidden_layers_processor
-        ),
-        "MLP_1": _mlp(
-            sd, "decoder.node_decoder", hidden_layers_decoder, norm=False
-        ),
-    }
-    return {
-        "params": {
-            "Encoder_0": encoder,
-            "Processor_0": processor,
-            "Decoder_0": decoder,
-        }
-    }
-
-
-def _gencast_mlp(sd, prefix, n_linear, norm=True):
-    """reference gencast MLP (gencast/layers/modules.py:11) -> GenCastMLP.
-
-    Torch layout: linears.{i}; optional trailing norm_layer.
-    """
-    out = {
-        f"TorchLinear_{i}": _linear(sd, f"{prefix}.linears.{i}")
-        for i in range(n_linear)
-    }
-    if norm:
-        out["LayerNorm_0"] = {
-            "scale": np.asarray(sd[f"{prefix}.norm_layer.weight"]),
-            "bias": np.asarray(sd[f"{prefix}.norm_layer.bias"]),
-        }
-    return out
-
-
-def _interaction_network(sd, prefix, n_linear):
-    """reference InteractionNetwork (modules.py:70) -> ours.
-
-    The reference's message MLP concatenates [x_i(receiver), x_j(sender),
-    e] (modules.py:124); ours takes [sender, receiver, e] — swap the first
-    layer's receiver/sender input-row blocks. In GenCast both node dims
-    equal the edge dim (everything is the hidden size), so the input
-    splits into equal thirds.
-    """
-    edges = _gencast_mlp(sd, f"{prefix}.mlp_edges", n_linear)
-    k = edges["TorchLinear_0"]["kernel"]  # [recv+send+edge, H]
-    third = k.shape[0] // 3
-    edges["TorchLinear_0"]["kernel"] = np.concatenate(
-        [k[third : 2 * third], k[:third], k[2 * third :]], axis=0
-    )
-    return {
-        "GenCastMLP_0": edges,
-        "GenCastMLP_1": _gencast_mlp(sd, f"{prefix}.mlp_nodes", n_linear),
-    }
-
-
-def _cond_layer_norm(sd, prefix):
-    return {
-        "TorchLinear_0": _linear(sd, f"{prefix}.linear_scale"),
-        "TorchLinear_1": _linear(sd, f"{prefix}.linear_bias"),
-    }
-
-
-def _transformer_conv(sd, prefix):
-    """PyG TransformerConv tensors -> our GraphTransformerConv.
-
-    PyG names: lin_query/lin_key/lin_value (+lin_edge, lin_skip, lin_beta).
-    Ours (modules.py GraphTransformerConv): TorchLinear_{0,1,2} = q,k,v;
-    TorchLinear_3 = edge (optional, bias-free); skip/beta at the tail.
-
-    The beta-gate input order differs: PyG feeds [out, x_r, out - x_r]
-    (torch_geometric/nn/conv/transformer_conv.py), ours [skip, out,
-    skip - out]. With chunks (W1, W2, W3) of PyG's lin_beta, the gate
-    W1 out + W2 x_r + W3 (out - x_r) equals our V1 skip + V2 out +
-    V3 (skip - out) for V = (W2 - W3, W1 + W3, 0).
-    """
-    out = {
-        "TorchLinear_0": _linear(sd, f"{prefix}.lin_query"),
-        "TorchLinear_1": _linear(sd, f"{prefix}.lin_key"),
-        "TorchLinear_2": _linear(sd, f"{prefix}.lin_value"),
-    }
-    nxt = 3
-    if f"{prefix}.lin_edge.weight" in sd:
-        out[f"TorchLinear_{nxt}"] = {
-            "kernel": np.ascontiguousarray(sd[f"{prefix}.lin_edge.weight"].T)
-        }
-        nxt += 1
-    out[f"TorchLinear_{nxt}"] = _linear(sd, f"{prefix}.lin_skip")
-    w = np.asarray(sd[f"{prefix}.lin_beta.weight"])  # [1, 3F]
-    w1, w2, w3 = np.split(w, 3, axis=1)
-    v = np.concatenate([w2 - w3, w1 + w3, np.zeros_like(w3)], axis=1)
-    out[f"TorchLinear_{nxt + 1}"] = {"kernel": np.ascontiguousarray(v.T)}
-    return out
-
-
-def convert_denoiser(
-    sd: dict, num_blocks: int = 16, mlp_hidden_dims: int = 2
-) -> dict:
-    """Reference gencast Denoiser state_dict -> flax params.
-
-    mlp_hidden_dims = len(hidden_dims) of the reference config (number of
-    linears in each GenCastMLP).
-    """
-    sd = {k: np.asarray(v) for k, v in sd.items()}
-    n_lin = mlp_hidden_dims
-    enc = {
-        "GenCastMLP_0": _gencast_mlp(sd, "encoder.grid_mlp", n_lin),
-        "GenCastMLP_1": _gencast_mlp(sd, "encoder.mesh_mlp", n_lin),
-        "GenCastMLP_2": _gencast_mlp(sd, "encoder.edges_mlp", n_lin),
-        "InteractionNetwork_0": _interaction_network(sd, "encoder.gnn", n_lin),
-        "GenCastMLP_3": _gencast_mlp(sd, "encoder.grid_mlp_final", n_lin),
-    }
-    blocks = {}
-    for i in range(num_blocks):
-        p = f"processor.cond_transformers.{i}"
-        blocks[f"CondTransformerBlock_{i}"] = {
-            "GraphTransformerConv_0": _transformer_conv(
-                sd, f"{p}.transformer_conv"
-            ),
-            "ConditionalLayerNorm_0": _cond_layer_norm(sd, f"{p}.cond_norm"),
-        }
-    proc = {
-        "FourierEmbedding_0": {
-            "TorchLinear_0": _linear(sd, "processor.fourier_embedder.mlp.0"),
-            "TorchLinear_1": _linear(sd, "processor.fourier_embedder.mlp.2"),
-        },
-        **blocks,
-    }
-    if "processor.edges_mlp.linears.0.weight" in sd:
-        # Present when the processor consumes k-hop edge features.
-        proc["GenCastMLP_0"] = _gencast_mlp(sd, "processor.edges_mlp", n_lin)
-    dec = {
-        "GenCastMLP_0": _gencast_mlp(sd, "decoder.edges_mlp", n_lin),
-        "InteractionNetwork_0": _interaction_network(sd, "decoder.gnn", n_lin),
-        "GenCastMLP_1": _gencast_mlp(sd, "decoder.grid_mlp_final", n_lin),
-    }
-    return {
-        "params": {
-            "GenCastEncoder_0": enc,
-            "GenCastProcessor_0": proc,
-            "GenCastDecoder_0": dec,
-        }
-    }
-
-
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--model", choices=["forecaster", "denoiser"], required=True)
-    p.add_argument("--inp", required=True, help=".npz of the torch state_dict, or a torch .pt")
-    p.add_argument("--out", required=True, help="output .msgpack of flax params")
-    p.add_argument("--num-blocks", type=int, default=None)
-    args = p.parse_args()
-
-    if args.inp.endswith(".npz"):
-        sd = dict(np.load(args.inp))
-    else:
-        import torch
-
-        raw = torch.load(args.inp, map_location="cpu", weights_only=True)
-        raw = raw.get("state_dict", raw)
-        sd = {k: v.numpy() for k, v in raw.items()}
-
-    if args.model == "forecaster":
-        params = convert_forecaster(sd, num_blocks=args.num_blocks or 9)
-    else:
-        params = convert_denoiser(sd, num_blocks=args.num_blocks or 16)
-
-    from graph_weather_tpu.train.serialization import save_params
-
-    save_params(args.out, params)
-    print(f"wrote {args.out}")
-
+from graph_weather_tpu.convert import (  # noqa: F401 (re-export)
+    convert_denoiser,
+    convert_forecaster,
+    main,
+)
 
 if __name__ == "__main__":
     main()

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from graph_weather_tpu import GraphWeatherForecaster
 from graph_weather_tpu.meshes.graphs import GraphBundle
 from graph_weather_tpu.nn.graph_blocks import DeviceGraph
-from scripts.convert_torch import convert_forecaster
+from graph_weather_tpu.convert import convert_forecaster
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "forecaster_small.npz")
 
@@ -105,7 +105,7 @@ def test_gencast_denoiser_matches_torch_reference_golden():
     Mesh vertex ORDER differs between the implementations, which is
     immaterial: no per-vertex parameters, permutation-equivariant mesh."""
     from graph_weather_tpu.models.gencast import Denoiser
-    from scripts.convert_torch import convert_denoiser
+    from graph_weather_tpu.convert import convert_denoiser
 
     data = np.load(GENCAST_GOLDEN)
     (nlon, nlat, f_in, f_out, hid, n_hidden, num_blocks, num_heads,
@@ -141,4 +141,48 @@ def test_gencast_denoiser_matches_torch_reference_golden():
     expected = data["__output__"]
     assert out.shape == expected.shape
     per_var_rmse = np.sqrt(((out - expected) ** 2).mean(axis=(0, 1, 2)))
+    assert per_var_rmse.max() < 1e-5, per_var_rmse
+
+
+@pytest.mark.skipif(
+    not os.path.exists(GENCAST_GOLDEN), reason="golden not generated"
+)
+def test_denoiser_from_pretrained_local_dir(tmp_path):
+    """from_pretrained on a reference-format checkpoint directory
+    (config.json + model.safetensors, the PyTorchModelHubMixin layout the
+    reference publishes, e.g. openclimatefix/gencast-128x64) reproduces
+    the reference golden output."""
+    safetensors = pytest.importorskip("safetensors.numpy")
+    import json
+
+    from graph_weather_tpu.models.gencast import Denoiser
+
+    data = np.load(GENCAST_GOLDEN)
+    (nlon, nlat, f_in, f_out, hid, n_hidden, num_blocks, num_heads,
+     splits, num_hops, use_edges) = data["__config__"]
+    cfg = {
+        "grid_lon": data["__grid_lon__"].tolist(),
+        "grid_lat": data["__grid_lat__"].tolist(),
+        "input_features_dim": int(f_in),
+        "output_features_dim": int(f_out),
+        "hidden_dims": [int(hid)] * int(n_hidden),
+        "num_blocks": int(num_blocks),
+        "num_heads": int(num_heads),
+        "splits": int(splits),
+        "num_hops": int(num_hops),
+        "use_edges_features": bool(use_edges),
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    sd = {k: data[k] for k in data.files if not k.startswith("__")}
+    safetensors.save_file(sd, str(tmp_path / "model.safetensors"))
+
+    den, params = Denoiser.from_pretrained(str(tmp_path))
+    out = np.asarray(
+        den.forward_fn()(
+            params, data["__corrupted__"], data["__prev__"], data["__noise__"]
+        )
+    )
+    per_var_rmse = np.sqrt(
+        ((out - data["__output__"]) ** 2).mean(axis=(0, 1, 2))
+    )
     assert per_var_rmse.max() < 1e-5, per_var_rmse
