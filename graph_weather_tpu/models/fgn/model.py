@@ -190,9 +190,11 @@ class FunctionalGenerativeNetwork:
         remat: bool = False,
         attention_impl: str = "segment",
     ):
-        if attention_impl not in ("segment", "banded", "banded_flash"):
+        if attention_impl not in (
+            "segment", "banded", "banded_flash", "clustered_flash"
+        ):
             raise ValueError(f"unknown attention_impl {attention_impl!r}")
-        if attention_impl.startswith("banded") and use_edges_features:
+        if attention_impl != "segment" and use_edges_features:
             raise ValueError(
                 f"attention_impl={attention_impl!r} requires use_edges_features="
                 "False "
@@ -211,6 +213,7 @@ class FunctionalGenerativeNetwork:
             splits=splits,
             num_hops=num_hops,
             add_edge_features_to_khop=use_edges_features,
+            spatial_sort="rcb" if attention_impl == "clustered_flash" else True,
         )
         self.graphs = graphs
         self.g2m = DeviceGraph.from_bundle(graphs.g2m)
@@ -218,6 +221,7 @@ class FunctionalGenerativeNetwork:
             graphs.khop,
             banded=attention_impl.startswith("banded"),
             band_flash=(attention_impl == "banded_flash"),
+            clustered=(attention_impl == "clustered_flash"),
         )
         self.m2g = DeviceGraph.from_bundle(graphs.m2g)
         self.grid_node_feats = jnp.asarray(graphs.grid_node_feats)

@@ -38,6 +38,7 @@ class GenDAConfig:
     scale_factor: float = 1.0
     conditioning_dim: int = 2
     remat: bool = False
+    attention_impl: str = "segment"
 
     def build(self) -> "GenDA":
         return GenDA(
@@ -54,6 +55,7 @@ class GenDAConfig:
             scale_factor=self.scale_factor,
             conditioning_dim=self.conditioning_dim,
             remat=self.remat,
+            attention_impl=self.attention_impl,
         )
 
 
@@ -79,6 +81,7 @@ class GenDA(Denoiser):
         scale_factor: float = 1.0,
         conditioning_dim: int = 2,
         remat: bool = False,
+        attention_impl: str = "segment",
     ):
         super().__init__(
             grid_lon=grid_lon,
@@ -93,6 +96,7 @@ class GenDA(Denoiser):
             use_edges_features=use_edges_features,
             scale_factor=scale_factor,
             remat=remat,
+            attention_impl=attention_impl,
         )
         self.conditioning_dim = conditioning_dim
 

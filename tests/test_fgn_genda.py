@@ -65,6 +65,43 @@ class TestFGN:
         o_band = m_band(params, state, num_ensemble=2, key=jax.random.PRNGKey(4))
         np.testing.assert_allclose(o_seg, o_band, atol=1e-3)
 
+    def test_clustered_flash_matches_segment(self, monkeypatch):
+        """FGN(attention_impl='clustered_flash') equals the segment path.
+
+        The segment model is forced onto the same RCB mesh ordering the
+        clustered path uses, so any difference is kernel wiring, not the
+        f32 summation-order drift a reordering would introduce (same
+        approach as test_pallas_kernels.test_denoiser_clustered_matches_segment).
+        """
+        import graph_weather_tpu.models.fgn.model as fmod
+
+        grid_lon, grid_lat = _grids()
+        kw = dict(
+            grid_lon=grid_lon, grid_lat=grid_lat, input_features_dim=2,
+            output_features_dim=1, noise_dimension=3, hidden_dims=(8, 8),
+            num_blocks=2, num_heads=2, splits=2, num_hops=3,
+            use_edges_features=False,
+        )
+        m_clu = FunctionalGenerativeNetwork(**kw, attention_impl="clustered_flash")
+        assert m_clu.khop.cluster_ids is not None
+        orig = fmod.build_graphcast_graphs
+
+        def forced_rcb(*a, **k):
+            k["spatial_sort"] = "rcb"
+            return orig(*a, **k)
+
+        monkeypatch.setattr(fmod, "build_graphcast_graphs", forced_rcb)
+        m_seg = FunctionalGenerativeNetwork(**kw)
+        monkeypatch.undo()
+        params = m_seg.init(jax.random.PRNGKey(0))
+        state = jnp.asarray(
+            np.random.default_rng(5).normal(size=(1, NLON, NLAT, 2)),
+            jnp.float32,
+        )
+        o_seg = m_seg(params, state, num_ensemble=2, key=jax.random.PRNGKey(4))
+        o_clu = m_clu(params, state, num_ensemble=2, key=jax.random.PRNGKey(4))
+        np.testing.assert_allclose(o_seg, o_clu, atol=1e-3)
+
     def test_banded_requires_no_edge_features(self):
         grid_lon, grid_lat = _grids()
         with pytest.raises(ValueError, match="use_edges_features"):
@@ -140,6 +177,37 @@ class TestGenDA:
         guided = model.guided_forward(params, tgt, prev, noise, mask, values, gamma=1.0)
         cond = model(params, tgt, prev, noise, sensor_mask=mask, sensor_values=values)
         np.testing.assert_allclose(np.asarray(guided), np.asarray(cond), atol=1e-6)
+
+    def test_clustered_flash_matches_segment(self, monkeypatch):
+        """GenDA(attention_impl='clustered_flash') equals the segment path
+        (same RCB mesh ordering forced on the segment model)."""
+        import graph_weather_tpu.models.gencast.denoiser as dmod
+
+        grid_lon, grid_lat = _grids()
+        kw = dict(
+            grid_lon=grid_lon, grid_lat=grid_lat, input_features_dim=2,
+            output_features_dim=2, hidden_dims=(16, 16), num_blocks=2,
+            num_heads=2, splits=2, num_hops=2, conditioning_dim=2,
+            use_edges_features=False,
+        )
+        m_clu = GenDA(**kw, attention_impl="clustered_flash")
+        assert m_clu.khop.cluster_ids is not None
+        orig = dmod.build_graphcast_graphs
+
+        def forced_rcb(*a, **k):
+            k["spatial_sort"] = "rcb"
+            return orig(*a, **k)
+
+        monkeypatch.setattr(dmod, "build_graphcast_graphs", forced_rcb)
+        m_seg = GenDA(**kw)
+        monkeypatch.undo()
+        params = m_seg.init(jax.random.PRNGKey(0))
+        tgt, prev, noise, mask, values = self._tensors()
+        o_seg = m_seg(params, tgt, prev, noise, sensor_mask=mask, sensor_values=values)
+        o_clu = m_clu(params, tgt, prev, noise, sensor_mask=mask, sensor_values=values)
+        np.testing.assert_allclose(
+            np.asarray(o_seg), np.asarray(o_clu), atol=1e-3
+        )
 
     def test_sensor_shape_validation(self, genda):
         model, params = genda
