@@ -48,20 +48,51 @@ def _grid(spacing: float):
     return [(float(a), float(b)) for a in lats for b in lons]
 
 
-def _time_ms(fn, n_iter: int) -> float:
-    out = fn()
-    jax_block(out)
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fn()
-    jax_block(out)
-    return (time.perf_counter() - t0) / n_iter * 1000.0
-
-
-def jax_block(out):
+def _fetch(x) -> float:
+    """Materialize a device scalar on the host (forces remote execution)."""
     import jax
 
-    jax.block_until_ready(out)
+    return float(np.asarray(jax.device_get(x)).ravel()[0])
+
+
+def _time_ms(body, n_iter: int, args=()) -> float:
+    """Time `body` chained n_iter times inside one jitted lax.scan.
+
+    `body(carry_scalar, *args) -> array`; the returned array's MEAN feeds
+    the next carry so every iteration depends on the FULL previous output.
+
+    This shape is required for honest numbers on the axon (remote TPU
+    tunnel) runtime — measured findings, validated against an 8192^3
+    matmul landing at ~65% of MXU peak:
+      - un-chained repeat dispatches of identical (executable, args) can
+        be served from a cache (same-buffer loops measure ~0);
+      - block_until_ready alone does not force execution; a value must be
+        fetched to the host;
+      - a carry taken from a SLICE of the output lets XLA slice-pushdown
+        delete the work being measured — hence the mean;
+      - per-dispatch tunnel overhead (~30 ms) is calibrated and
+        subtracted; chaining amortizes it across iterations.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def scan_fn(seed, *a):
+        def step(carry, _):
+            out = body(carry, *a)
+            return jnp.mean(out).astype(jnp.float32), ()
+
+        return jax.lax.scan(step, seed, None, length=n_iter)[0]
+
+    _fetch(scan_fn(jnp.float32(0.0), *args))  # compile + warm
+    triv = jax.jit(lambda s: s + 1.0)
+    _fetch(triv(jnp.float32(0.5)))
+    t0 = time.perf_counter()
+    _fetch(triv(jnp.float32(1.5)))
+    overhead = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _fetch(scan_fn(jnp.float32(1.0), *args))
+    return (time.perf_counter() - t0 - overhead) / n_iter * 1000.0
 
 
 def _emit(metric: str, value: float, unit: str, vs_baseline: float, **detail):
@@ -118,11 +149,17 @@ def metric_denoiser(splits: int, hops: int, quick: bool):
         attention_impl="clustered_flash",
     )
     params = den.init(jax.random.PRNGKey(0))
-    fwd = jax.jit(den.forward_fn(compute_dtype=jnp.bfloat16))
+    fwd = den.forward_fn(compute_dtype=jnp.bfloat16)
     corrupted = jax.random.normal(jax.random.PRNGKey(1), (1, nlon, nlat, f_out))
     prev = jax.random.normal(jax.random.PRNGKey(2), (1, nlon, nlat, 2 * f_in))
     noise = jnp.full((1, 1), 1.0)
-    ms = _time_ms(lambda: fwd(params, corrupted, prev, noise), 5 if quick else 20)
+
+    def body(c, params, corrupted, prev, noise):
+        return fwd(params, corrupted.at[0, 0, 0, 0].set(c), prev, noise)
+
+    ms = _time_ms(
+        body, 5 if quick else 20, args=(params, corrupted, prev, noise)
+    )
     _ms_metric(
         f"gencast_denoiser_fwd_ms_splits{splits}" + ("_quick" if quick else ""),
         ms,
@@ -160,10 +197,14 @@ def metric_sampler(quick: bool):
     )
     params = den.init(jax.random.PRNGKey(0))
     sampler = Sampler(num_steps=steps)
-    fn = jax.jit(sampler.sample_fn(den, compute_dtype=jnp.bfloat16))
+    fn = sampler.sample_fn(den, compute_dtype=jnp.bfloat16)
     prev = jax.random.normal(jax.random.PRNGKey(2), (1, nlon, nlat, 2 * f_in))
     key = jax.random.PRNGKey(3)
-    ms = _time_ms(lambda: fn(params, key, prev), 2 if quick else 5)
+
+    def body(c, params, key, prev):
+        return fn(params, key, prev.at[0, 0, 0, 0].set(c))
+
+    ms = _time_ms(body, 2 if quick else 5, args=(params, key, prev))
     _ms_metric(
         "gencast_sampler_20step_ms" + ("_quick" if quick else ""),
         ms,
@@ -200,7 +241,10 @@ def metric_assimilator(quick: bool):
         ),
         jnp.float32,
     )
-    ms = _time_ms(lambda: fwd(params, feats, obs), 5 if quick else 20)
+    def body(c, params, feats, obs):
+        return fwd(params, feats.at[0, 0, 0].set(c), obs)
+
+    ms = _time_ms(body, 5 if quick else 20, args=(params, feats, obs))
     _ms_metric(
         "assimilator_fwd_ms" + ("_quick" if quick else ""),
         ms,
@@ -224,29 +268,42 @@ def metric_train_step(quick: bool):
     import jax.numpy as jnp
     import time as _time
 
-    step = jax.jit(
-        make_train_step(model.forward_fn(), loss_obj, optimizer),
-        donate_argnums=(0, 1),
-    )
-    params = jax.tree_util.tree_map(jnp.copy, params)
+    step = make_train_step(model.forward_fn(), loss_obj, optimizer)
     opt_state = optimizer.init(params)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, len(lat_lons), 102))
     y = jax.random.normal(jax.random.PRNGKey(2), (1, len(lat_lons), 78))
-
-    params, opt_state, loss = step(params, opt_state, x, y)
-    jax.block_until_ready(loss)
     n_iter = 5 if quick else 20
+
+    # Chained real optimization steps: each iteration's params depend on
+    # the previous one, so no dispatch/result caching can shortcut it
+    # (see _time_ms for the axon timing rules this follows).
+    @jax.jit
+    def scan_fn(seed, params, opt_state, x, y):
+        def one(carry, _):
+            p, o, s = carry
+            p, o, loss = step(p, o, x.at[0, 0, 0].set(s), y)
+            return (p, o, loss.astype(jnp.float32)), ()
+
+        (p, o, s), _ = jax.lax.scan(
+            one, (params, opt_state, seed), None, length=n_iter
+        )
+        return s
+
+    _fetch(scan_fn(jnp.float32(0.0), params, opt_state, x, y))
+    triv = jax.jit(lambda s: s + 1.0)
+    _fetch(triv(jnp.float32(0.5)))
     t0 = _time.perf_counter()
-    for _ in range(n_iter):
-        params, opt_state, loss = step(params, opt_state, x, y)
-    jax.block_until_ready(loss)
-    ms = (_time.perf_counter() - t0) / n_iter * 1000.0
+    _fetch(triv(jnp.float32(1.5)))
+    overhead = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    _fetch(scan_fn(jnp.float32(1.0), params, opt_state, x, y))
+    ms = (_time.perf_counter() - t0 - overhead) / n_iter * 1000.0
     _ms_metric(
         "forecast_train_step_ms_1deg" + ("_quick" if quick else ""),
         ms,
         grid_nodes=len(lat_lons),
         optimizer="adamw",
-        donated=True,
+        chained_scan=True,
     )
 
 
@@ -274,10 +331,14 @@ def metric_headline(quick: bool):
     x = jax.random.normal(jax.random.PRNGKey(1), (1, len(lat_lons), 102))
     y = jax.random.normal(jax.random.PRNGKey(2), (1, len(lat_lons), 78))
     t0 = time.time()
-    step(params, x, y).block_until_ready()
+    _fetch(step(params, x, y))
     compile_s = time.time() - t0
     n_iter = 5 if quick else 20
-    ms = _time_ms(lambda: step(params, x, y), n_iter)
+
+    def body(c, params, x, y):
+        return step(params, x.at[0, 0, 0].set(c), y)
+
+    ms = _time_ms(body, n_iter, args=(params, x, y))
     steps_per_sec = 1000.0 / ms
 
     prev = None

@@ -61,7 +61,10 @@ class ClusterLayout:
 
     Attributes:
         gather_ids: [nb, U_pad] int32 global source rows per block; padding
-            slots point at row n_senders (callers append one zero row).
+            slots point at row 0 (always valid — no appended dummy row).
+            Every padded slot's mask column is all-False, so the padded
+            rows contribute exactly zero in both forward (softmax prob 0)
+            and backward (dk/dv columns identically zero).
         masks: [nb, block, U_pad] bool adjacency of block-local receivers
             vs gathered sources.
         block: receiver rows per block.
@@ -110,7 +113,7 @@ def build_cluster_layout(
     u_max = max((len(u) for u in unions), default=1)
     u_pad = max(-(-u_max // kt) * kt, kt)
 
-    gather_ids = np.full((nb, u_pad), n_senders, dtype=np.int32)
+    gather_ids = np.zeros((nb, u_pad), dtype=np.int32)
     masks = np.zeros((nb, block, u_pad), dtype=bool)
     for b, u in enumerate(unions):
         gather_ids[b, : len(u)] = u

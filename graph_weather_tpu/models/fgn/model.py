@@ -23,7 +23,12 @@ from graph_weather_tpu.models.gencast.layers import (
     GenCastDecoder,
     GenCastEncoder,
 )
-from graph_weather_tpu.models.gencast.modules import CondTransformerBlock, GenCastMLP
+from graph_weather_tpu.models.gencast.modules import (
+    CondTransformerBlock,
+    GenCastMLP,
+    cluster_pad_rows,
+    cluster_unpad_rows,
+)
 from graph_weather_tpu.nn.graph_blocks import DeviceGraph
 
 
@@ -61,6 +66,10 @@ class FGNProcessor(nn.Module):
                 self.hidden_dims, self.activation, self.use_layer_norm
             )(khop.edge_attr)
 
+        # One pad/slice around the whole stack (see GenCastProcessor).
+        n_real = latent_mesh.shape[-2]
+        latent_mesh = cluster_pad_rows(latent_mesh, khop)
+
         block_cls = CondTransformerBlock
         if self.remat:
             block_cls = nn.remat(CondTransformerBlock, static_argnums=())
@@ -83,7 +92,7 @@ class FGNProcessor(nn.Module):
             activation=None,
             name=f"CondTransformerBlock_{self.num_blocks - 1}",
         )(latent_mesh, khop, edge_attr, cond)
-        return latent_mesh
+        return cluster_unpad_rows(latent_mesh, n_real)
 
 
 class FGNModule(nn.Module):

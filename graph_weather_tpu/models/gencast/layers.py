@@ -18,6 +18,8 @@ from graph_weather_tpu.models.gencast.modules import (
     FourierEmbedding,
     GenCastMLP,
     InteractionNetwork,
+    cluster_pad_rows,
+    cluster_unpad_rows,
 )
 from graph_weather_tpu.nn.graph_blocks import DeviceGraph
 
@@ -107,6 +109,13 @@ class GenCastProcessor(nn.Module):
                 self.hidden_dims, self.activation, self.use_layer_norm
             )(khop.edge_attr)
 
+        # Keep rows padded to the clustered layout across ALL blocks: one
+        # pad here + one slice at the end instead of a pad/slice pair per
+        # attention call (the pair costs ~2x42 MB of HBM copies per block
+        # at splits 6). No-op for non-clustered layouts.
+        n_real = latent_mesh.shape[-2]
+        latent_mesh = cluster_pad_rows(latent_mesh, khop)
+
         block_cls = CondTransformerBlock
         if self.remat:
             block_cls = nn.remat(CondTransformerBlock, static_argnums=())
@@ -129,7 +138,7 @@ class GenCastProcessor(nn.Module):
             activation=None,
             name=f"CondTransformerBlock_{self.num_blocks - 1}",
         )(latent_mesh, khop, edge_attr, cond)
-        return latent_mesh
+        return cluster_unpad_rows(latent_mesh, n_real)
 
 
 class GenCastDecoder(nn.Module):

@@ -29,6 +29,30 @@ from graph_weather_tpu.nn.mlp import TorchLinear
 from graph_weather_tpu.ops.segment_softmax import segment_softmax
 
 
+def cluster_pad_rows(x: jnp.ndarray, graph: DeviceGraph) -> jnp.ndarray:
+    """Pad [..., N, F] rows to the clustered layout's nb*block.
+
+    Processors pad ONCE before their transformer stack and slice once after
+    (cluster_unpad_rows), so the per-block pad/slice copies inside the
+    clustered flash path become free reshapes. Padded receiver rows have
+    all-zero mask rows (exact-zero attention output) and padded rows are
+    never referenced as senders, so real rows are unaffected.
+    """
+    if graph.cluster_ids is None:
+        return x
+    n_pad = graph.cluster_ids.shape[0] * graph.cluster_block
+    pad = n_pad - x.shape[-2]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)]
+    return jnp.pad(x, widths)
+
+
+def cluster_unpad_rows(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Slice [..., N_pad, F] back to the first n real rows."""
+    return x[..., :n, :]
+
+
 class GenCastMLP(nn.Module):
     """MLP over a hidden_dims list; activation between layers only."""
 

@@ -113,7 +113,10 @@ class DeviceGraph:
                 bundle.n_receivers, bundle.n_senders, block=cluster_block,
             )
             cluster_ids = jnp.asarray(layout.gather_ids)
-            cluster_masks = jnp.asarray(layout.masks)
+            # int8 at build time: the flash kernels consume int8 tiles, and
+            # casting the [nb, block, U_pad] mask (64 MB at splits 6) per
+            # attention call costs ~0.16 ms x num_blocks per forward.
+            cluster_masks = jnp.asarray(layout.masks.astype(np.int8))
         senders, receivers, edge_attr = bundle.device_arrays()
         return cls(
             senders=senders,

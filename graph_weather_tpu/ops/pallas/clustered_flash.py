@@ -32,7 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from graph_weather_tpu.ops.pallas.banded_flash import (
     _KT,
+    _NEG,
     _SAFE,
+    _VMEM_BUDGET,
     _fuse_heads,
     _mask_bias,
     _pad_c,
@@ -91,6 +93,46 @@ def _fwd_kernel(
             lse_ref[0, :, :] = m_i[...] + jnp.log(jnp.maximum(l_i[...], 1e-30))
 
 
+def _fwd_kernel_onepass(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, *rest, n_ut, scale, c, with_lse
+):
+    """Single-pass (non-online) masked softmax: one head per grid step.
+
+    Phase 1 (steps t=0..n_ut-1) streams K tiles and fills the logits
+    scratch; the final step masks, does ONE max/exp/sum pass, and runs the
+    whole P@V as a single MXU dot from scratch. Removes the online-softmax
+    state traffic (acc rescales + 128-lane m/l broadcast writes per tile)
+    that dominates the multi-tile kernel's VPU time. Numerics identical:
+    masked lanes get the _NEG bias before the max, so empty rows still
+    produce exact zeros.
+    """
+    if with_lse:
+        lse_ref, s = rest
+    else:
+        (s,) = rest
+    t = pl.program_id(2)
+
+    s[:, pl.dslice(t * _KT, _KT)] = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(t == n_ut - 1)
+    def _finish():
+        s[...] = jnp.where(mask_ref[0] != 0, s[...], _NEG)
+        m = jnp.maximum(jnp.max(s[...], axis=-1, keepdims=True), _SAFE)
+        s[...] = jnp.exp(s[...] - m)
+        l = jnp.sum(s[...], axis=-1, keepdims=True)
+        o = jax.lax.dot(
+            s[...].astype(v_ref.dtype), v_ref[0],
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        if with_lse:
+            lse = m + jnp.log(jnp.maximum(l, 1e-30))
+            lse_ref[0] = jnp.broadcast_to(lse, (lse.shape[0], 128))
+
+
 def _bwd_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dk_ref, dv_ref, dq_acc, *, n_ut, scale, c,
@@ -146,7 +188,7 @@ def clustered_flash_attention(
     q: jnp.ndarray,  # [N, H, C] (batch: vmap this function)
     k: jnp.ndarray,
     v: jnp.ndarray,
-    gather_ids: jnp.ndarray,  # [nb, U_pad] int32 (padding -> row N)
+    gather_ids: jnp.ndarray,  # [nb, U_pad] int32 (padding -> row 0, masked)
     masks: jnp.ndarray,  # [nb, block, U_pad] bool/int8
     block: int,
     interpret: bool = False,
@@ -187,9 +229,12 @@ def _clustered_bwd(block, interpret, res, g):
 _clustered.defvjp(_clustered_fwd, _clustered_bwd)
 
 
-def _gather_kv(t, gather_ids, n_pad_rows):
-    """[N, hc] + dummy zero row -> [nb, U_pad, hc] block-local rows."""
-    t = jnp.concatenate([t, jnp.zeros_like(t[:1])], axis=0)
+def _gather_kv(t, gather_ids):
+    """[N, hc] -> [nb, U_pad, hc] block-local rows.
+
+    Padding slots in gather_ids point at row 0 (a real row — no copy to
+    append a dummy); their mask columns are all-False so they contribute
+    exactly zero in forward and backward (see meshes/clustering.py)."""
     return jnp.take(t, gather_ids, axis=0)
 
 
@@ -201,7 +246,7 @@ def _layout(q, k, v, block, nb):
     c, (q, k, v) = _pad_c(c, q, k, v)
     hc = h * c
     q_p = _fuse_heads(q, n_pad).reshape(nb, block, hc)
-    k_f = _fuse_heads(k, n)  # no row padding; dummy row added by _gather_kv
+    k_f = _fuse_heads(k, n)  # no row padding needed (gathered by row id)
     v_f = _fuse_heads(v, n)
     return n, h, c, c_true, hc, n_pad, scale, q_p, k_f, v_f
 
@@ -213,11 +258,58 @@ def _clustered_impl(q, k, v, gather_ids, masks, block, interpret, with_lse):
     n, h, c, c_true, hc, n_pad, scale, q_p, k_f, v_f = _layout(
         q, k, v, block, nb
     )
-    k_loc = _gather_kv(k_f, gather_ids, n_pad)  # [nb, U_pad, hc]
-    v_loc = _gather_kv(v_f, gather_ids, n_pad)
+    k_loc = _gather_kv(k_f, gather_ids)  # [nb, U_pad, hc]
+    v_loc = _gather_kv(v_f, gather_ids)
     masks8 = masks.astype(jnp.int8)
     n_ut = u_pad // _KT
     dt = q_p.dtype.itemsize
+
+    # Single-pass kernel (one head per step, full logits row in scratch)
+    # whenever the scratch + working set fits; the online multi-tile
+    # kernel remains as the large-config fallback.
+    onepass_bytes = (
+        block * u_pad * 4 * 3  # logits scratch + masked/exp temps
+        + u_pad * c * dt * 4  # k tile + v (double-buffered)
+        + block * u_pad * 2  # int8 mask (double-buffered)
+        + block * c * (dt * 4 + 4)  # q, o, acc temp
+        + block * 128 * 4 * 2
+    )
+    if onepass_bytes <= _VMEM_BUDGET:
+        out_specs = [pl.BlockSpec((1, block, c), lambda b, g, t: (b, 0, g))]
+        out_shapes = [jax.ShapeDtypeStruct((nb, block, hc), q_p.dtype)]
+        if with_lse:
+            out_specs.append(
+                pl.BlockSpec((1, block, 128), lambda b, g, t: (b, 0, g))
+            )
+            out_shapes.append(
+                jax.ShapeDtypeStruct((nb, block, h * 128), jnp.float32)
+            )
+        res = pl.pallas_call(
+            functools.partial(
+                _fwd_kernel_onepass,
+                n_ut=n_ut, scale=scale, c=c, with_lse=with_lse,
+            ),
+            grid=(nb, h, n_ut),
+            in_specs=[
+                pl.BlockSpec((1, block, c), lambda b, g, t: (b, 0, g)),
+                pl.BlockSpec((1, _KT, c), lambda b, g, t: (b, t, g)),
+                pl.BlockSpec((1, u_pad, c), lambda b, g, t: (b, 0, g)),
+                pl.BlockSpec((1, block, u_pad), lambda b, g, t: (b, 0, 0)),
+            ],
+            out_specs=out_specs if with_lse else out_specs[0],
+            out_shape=out_shapes if with_lse else out_shapes[0],
+            scratch_shapes=[pltpu.VMEM((block, u_pad), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary")
+            ),
+            interpret=interpret,
+        )(q_p, k_loc, v_loc, masks8)
+        if with_lse:
+            out, lse = res
+        else:
+            out, lse = res, None
+        out = out.reshape(n_pad, h, c)[:n, :, :c_true]
+        return out, lse
 
     def est(g):
         gc = g * c
@@ -290,8 +382,8 @@ def _clustered_bwd_impl(q, k, v, gather_ids, masks, out, lse, g, block, interpre
         nb, block, h * 128
     )
 
-    k_loc = _gather_kv(k_f, gather_ids, n_pad)
-    v_loc = _gather_kv(v_f, gather_ids, n_pad)
+    k_loc = _gather_kv(k_f, gather_ids)
+    v_loc = _gather_kv(v_f, gather_ids)
     masks8 = masks.astype(jnp.int8)
     n_ut = u_pad // _KT
 
@@ -341,14 +433,15 @@ def _clustered_bwd_impl(q, k, v, gather_ids, masks, out, lse, g, block, interpre
 
     dq = dq.reshape(n_pad, h, c)[:n, :, :c_true]
     # Scatter block-local dk/dv back to global rows (unions overlap across
-    # blocks; padding slots hit the dummy row n and are dropped).
+    # blocks; padding slots point at row 0 with identically-zero columns,
+    # so they add exact zeros there).
     ids = gather_ids.reshape(-1)
     dk = jax.ops.segment_sum(
-        dk_loc.reshape(nb * u_pad, hc).astype(jnp.float32), ids, num_segments=n + 1
-    )[:n]
+        dk_loc.reshape(nb * u_pad, hc).astype(jnp.float32), ids, num_segments=n
+    )
     dv = jax.ops.segment_sum(
-        dv_loc.reshape(nb * u_pad, hc).astype(jnp.float32), ids, num_segments=n + 1
-    )[:n]
+        dv_loc.reshape(nb * u_pad, hc).astype(jnp.float32), ids, num_segments=n
+    )
     dk = dk.astype(in_dtype).reshape(n, h, c)[:, :, :c_true]
     dv = dv.astype(in_dtype).reshape(n, h, c)[:, :, :c_true]
     return dq, dk, dv
