@@ -71,7 +71,11 @@ class DeviceGraph:
         band_block: int = 512,
         band_flash: bool = False,
         clustered: bool = False,
-        cluster_block: int = 512,
+        # 256-receiver blocks measured ~20% faster than 512 at GenCast
+        # splits-6 scale: the k-hop dilation halo is fixed (~6 rings), so
+        # smaller patches waste fewer (receiver, key) pairs on the union
+        # padding — 42M vs 64M pairs — at a modest gather-row increase.
+        cluster_block: int = 256,
     ) -> "DeviceGraph":
         if use_csr is None:
             counts = np.bincount(bundle.receivers, minlength=bundle.n_receivers)
