@@ -6,8 +6,9 @@ the normalized target residual, sample a noise level, and corrupt the
 residual with isotropic sphere noise. Works over any `FieldStore` (zarr,
 xarray, or in-memory).
 
-Noise is generated with the framework's on-device SHT generator but pulled
-back to NumPy here, keeping the dataset host-side and framework-agnostic.
+Noise is generated with the pure-NumPy twin of the framework's SHT
+generator (ops/sht.py:generate_isotropic_noise_np), keeping the dataset
+fully host-side.
 """
 
 from __future__ import annotations
@@ -21,16 +22,13 @@ from graph_weather_tpu.data.store import FieldStore
 
 
 def _np_isotropic_noise(num_lon, num_lat, num_samples, isotropic, rng):
-    if not isotropic:
-        return rng.standard_normal((num_lon, num_lat, num_samples)).astype(np.float32)
-    import jax
+    # Pure NumPy: a dataset worker must never touch jax — in the axon
+    # environment each eager jnp op is a remote-TPU round trip.
+    from graph_weather_tpu.ops.sht import generate_isotropic_noise_np
 
-    from graph_weather_tpu.ops.sht import generate_isotropic_noise
-
-    key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
-    return np.asarray(
-        generate_isotropic_noise(key, num_lon, num_lat, num_samples)
-    ).astype(np.float32)
+    return generate_isotropic_noise_np(
+        rng, num_lon, num_lat, num_samples, isotropic
+    )
 
 
 def sample_noise_level_np(rng, sigma_min=0.02, sigma_max=88.0, rho=7.0) -> float:

@@ -183,6 +183,48 @@ def _bwd_kernel(
         dq_ref[0, :, :] = (dq_acc[...] * scale).astype(dq_ref.dtype)
 
 
+def _bwd_kernel_onepass(
+    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref, *, scale,
+):
+    """Single-pass backward: one head per grid step, whole union resident.
+
+    P is formed once (exp against the stored lse) and all four gradient
+    contractions run as whole-union MXU dots — no per-tile exp/state
+    overhead, 5 large dots per head instead of 5 small ones per tile.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, :, :1]
+    delta = delta_ref[0, :, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = jnp.where(mask_ref[0] != 0, s, _NEG)
+    p = jnp.exp(s - lse)  # [block, U_pad]
+    dv_ref[0] = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dk_ref[0] = (
+        jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    ).astype(dk_ref.dtype)
+    dq_ref[0] = (
+        jax.lax.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    ).astype(dq_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def clustered_flash_attention(
     q: jnp.ndarray,  # [N, H, C] (batch: vmap this function)
@@ -387,6 +429,46 @@ def _clustered_bwd_impl(q, k, v, gather_ids, masks, out, lse, g, block, interpre
     masks8 = masks.astype(jnp.int8)
     n_ut = u_pad // _KT
 
+    onepass_bytes = (
+        3 * block * c * dt * 2  # q, do, dq
+        + 4 * u_pad * c * dt * 2  # k, v, dk, dv
+        + block * u_pad * 2  # int8 mask
+        + 2 * block * 128 * 4 * 2  # lse, delta
+        + 3 * block * u_pad * 4  # s/p/dp temps
+    )
+    if onepass_bytes <= _VMEM_BUDGET:
+        dq, dk_loc, dv_loc = pl.pallas_call(
+            functools.partial(_bwd_kernel_onepass, scale=scale),
+            grid=(nb, h),
+            in_specs=[
+                pl.BlockSpec((1, block, c), lambda b, g: (b, 0, g)),
+                pl.BlockSpec((1, u_pad, c), lambda b, g: (b, 0, g)),
+                pl.BlockSpec((1, u_pad, c), lambda b, g: (b, 0, g)),
+                pl.BlockSpec((1, block, u_pad), lambda b, g: (b, 0, 0)),
+                pl.BlockSpec((1, block, c), lambda b, g: (b, 0, g)),
+                pl.BlockSpec((1, block, 128), lambda b, g: (b, 0, g)),
+                pl.BlockSpec((1, block, 128), lambda b, g: (b, 0, g)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block, c), lambda b, g: (b, 0, g)),
+                pl.BlockSpec((1, u_pad, c), lambda b, g: (b, 0, g)),
+                pl.BlockSpec((1, u_pad, c), lambda b, g: (b, 0, g)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nb, block, hc), in_dtype),
+                jax.ShapeDtypeStruct((nb, u_pad, hc), in_dtype),
+                jax.ShapeDtypeStruct((nb, u_pad, hc), in_dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")
+            ),
+            interpret=interpret,
+        )(q_p, k_loc, v_loc, masks8, g_f, lse, delta)
+        return _bwd_scatter(
+            dq, dk_loc, dv_loc, gather_ids, n, n_pad, nb, u_pad, h, c,
+            c_true, hc, in_dtype,
+        )
+
     def est(gs):
         gc = gs * c
         return (
@@ -431,10 +513,21 @@ def _clustered_bwd_impl(q, k, v, gather_ids, masks, out, lse, g, block, interpre
         interpret=interpret,
     )(q_p, k_loc, v_loc, masks8, g_f, lse, delta)
 
+    return _bwd_scatter(
+        dq, dk_loc, dv_loc, gather_ids, n, n_pad, nb, u_pad, h, c,
+        c_true, hc, in_dtype,
+    )
+
+
+def _bwd_scatter(
+    dq, dk_loc, dv_loc, gather_ids, n, n_pad, nb, u_pad, h, c, c_true, hc,
+    in_dtype,
+):
+    """Scatter block-local dk/dv back to global rows.
+
+    Unions overlap across blocks; padding slots point at row 0 with
+    identically-zero columns, so they add exact zeros there."""
     dq = dq.reshape(n_pad, h, c)[:n, :, :c_true]
-    # Scatter block-local dk/dv back to global rows (unions overlap across
-    # blocks; padding slots point at row 0 with identically-zero columns,
-    # so they add exact zeros there).
     ids = gather_ids.reshape(-1)
     dk = jax.ops.segment_sum(
         dk_loc.reshape(nb * u_pad, hc).astype(jnp.float32), ids, num_segments=n

@@ -164,6 +164,55 @@ def power_spectrum(coeffs_cos: jnp.ndarray, coeffs_sin: jnp.ndarray) -> jnp.ndar
     return (coeffs_cos**2).sum(-1) + (coeffs_sin**2).sum(-1)
 
 
+def _noise_lmax(num_lon: int, num_lat: int) -> int:
+    if 2 * num_lat == num_lon:
+        return num_lat
+    if 2 * (num_lat - 1) == num_lon:
+        return num_lat - 1
+    raise ValueError(
+        "Isotropic noise requires grid's shape to be 2N x N or 2N x (N+1): "
+        f"got {num_lon} x {num_lat}. Pass isotropic=False otherwise."
+    )
+
+
+def generate_isotropic_noise_np(
+    rng: np.random.Generator,
+    num_lon: int,
+    num_lat: int,
+    num_samples: int = 1,
+    isotropic: bool = True,
+) -> np.ndarray:
+    """Host-side NumPy twin of `generate_isotropic_noise`.
+
+    Data pipelines must stay off-device: in the axon environment every
+    jnp op in a dataset worker is a remote-TPU round trip (eager dispatch
+    compiles per op), which made per-item noise generation take seconds.
+    Same construction (iid N(0, 4 pi / lmax^2) coefficients over
+    orthonormal real harmonics); only the RNG stream differs.
+    """
+    if not isotropic:
+        return rng.standard_normal((num_lon, num_lat, num_samples)).astype(
+            np.float32
+        )
+    lmax = _noise_lmax(num_lon, num_lat)
+    mmax = lmax
+    sigma = np.sqrt(4.0 * np.pi) / lmax
+    tri = np.tril(np.ones((lmax, mmax), np.float32))
+    cc = rng.standard_normal((num_samples, lmax, mmax)).astype(np.float32) * sigma * tri
+    cs = rng.standard_normal((num_samples, lmax, mmax)).astype(np.float32) * sigma * tri
+    leg, cosmphi, sinmphi = _synthesis_tables(num_lat, num_lon, lmax, mmax)
+    gc = np.einsum("slm,mlt->smt", cc, leg, optimize=True)
+    gs = np.einsum("slm,mlt->smt", cs, leg, optimize=True)
+    scale = np.concatenate(
+        [np.ones((1,), np.float32), np.full((mmax - 1,), np.sqrt(2.0, dtype=np.float32))]
+    )
+    field = np.einsum("smt,mp,m->stp", gc, cosmphi, scale, optimize=True)
+    field += np.einsum(
+        "smt,mp,m->stp", gs, sinmphi, scale * (np.arange(mmax) > 0), optimize=True
+    )
+    return np.transpose(field, (2, 1, 0)).astype(np.float32)  # [lon, lat, S]
+
+
 def generate_isotropic_noise(
     key, num_lon: int, num_lat: int, num_samples: int = 1, isotropic: bool = True
 ) -> jnp.ndarray:

@@ -240,7 +240,17 @@ class TestClusteredFlash:
         return jnp.einsum("hnm,mhc->nhc", p, v)
 
     @pytest.mark.parametrize("c", [128, 16])
-    def test_matches_dense_and_grads(self, c):
+    @pytest.mark.parametrize("kernel", ["onepass", "online_fallback"])
+    def test_matches_dense_and_grads(self, c, kernel, monkeypatch):
+        import graph_weather_tpu.ops.pallas.clustered_flash as cfmod
+
+        if kernel == "online_fallback":
+            # Force the multi-tile online fwd/bwd kernels (the large-config
+            # fallback) by shrinking the VMEM budget the selector uses.
+            monkeypatch.setattr(cfmod, "_VMEM_BUDGET", 0)
+        # The branch choice is baked in at trace time; drop cached traces
+        # so each parametrization really exercises its kernel.
+        cfmod.clustered_flash_attention.clear_cache()
         from graph_weather_tpu.meshes.clustering import build_cluster_layout
         from graph_weather_tpu.ops.pallas.clustered_flash import (
             clustered_flash_attention,

@@ -74,3 +74,22 @@ def test_isotropic_noise_grid_constraint():
     # 2N x (N+1) accepted
     out = generate_isotropic_noise(jax.random.PRNGKey(0), 64, 33)
     assert out.shape == (64, 33, 1)
+
+
+def test_isotropic_noise_np_matches_jax_statistics():
+    """The host-side NumPy twin (used by dataset workers) has the same
+    construction: unit pointwise variance everywhere, same grid rules."""
+    import pytest
+
+    from graph_weather_tpu.ops.sht import generate_isotropic_noise_np
+
+    rng = np.random.default_rng(0)
+    noise = generate_isotropic_noise_np(rng, 128, 64, num_samples=16)
+    assert noise.shape == (128, 64, 16) and noise.dtype == np.float32
+    assert abs(np.var(noise) - 1.0) < 0.05
+    assert abs(np.var(noise[:, :4]) - 1.0) < 0.15  # poles included
+    with pytest.raises(ValueError):
+        generate_isotropic_noise_np(rng, 100, 64)
+    assert generate_isotropic_noise_np(rng, 64, 33).shape == (64, 33, 1)
+    flat = generate_isotropic_noise_np(rng, 100, 64, isotropic=False)
+    assert flat.shape == (100, 64, 1)
