@@ -64,16 +64,28 @@ def main():
 
         fwd32 = den.forward_fn(compute_dtype=jnp.bfloat16)
 
+        def fetch(x):
+            return float(np.asarray(jax.device_get(x)).ravel()[0])
+
+        # Chained-scan timing with a fresh seed per dispatch and a host
+        # fetch — see bench.py:_time_ms for the axon timing rules.
         result = {"impl": impl, "splits": args.splits, "build_s": round(build_s, 1)}
         if args.fwd_only:
-            f = jax.jit(fwd32)
+            @jax.jit
+            def scan_fwd(seed, params, corrupted, prev, noise):
+                def body(c, _):
+                    out = fwd32(
+                        params, corrupted.at[0, 0, 0, 0].set(c), prev, noise
+                    )
+                    return jnp.mean(out).astype(jnp.float32), ()
+
+                return jax.lax.scan(body, seed, None, length=args.iters)[0]
+
             t0 = time.time()
-            f(params, corrupted, prev, noise).block_until_ready()
+            fetch(scan_fwd(jnp.float32(0.0), params, corrupted, prev, noise))
             result["compile_s"] = round(time.time() - t0, 1)
             t0 = time.perf_counter()
-            for _ in range(args.iters):
-                out = f(params, corrupted, prev, noise)
-            out.block_until_ready()
+            fetch(scan_fwd(jnp.float32(1.0), params, corrupted, prev, noise))
             result["fwd_ms"] = round(
                 (time.perf_counter() - t0) / args.iters * 1000, 2
             )
@@ -84,15 +96,31 @@ def main():
             def loss_fn(pred, tgt):
                 return jnp.mean((pred - tgt) ** 2)
 
-            step = jax.jit(make_train_step(fwd32, loss_fn, optimizer))
+            step = make_train_step(fwd32, loss_fn, optimizer)
+
+            @jax.jit
+            def scan_train(seed, params, opt_state, corrupted, prev, noise, target):
+                def body(carry, _):
+                    p, o, s = carry
+                    p, o, loss = step(
+                        p, o, corrupted.at[0, 0, 0, 0].set(s), prev, noise, target
+                    )
+                    return (p, o, loss.astype(jnp.float32)), ()
+
+                (p, o, s), _ = jax.lax.scan(
+                    body, (params, opt_state, seed), None, length=args.iters
+                )
+                return s
+
             t0 = time.time()
-            out = step(params, opt_state, corrupted, prev, noise, target)
-            jax.block_until_ready(out)
+            fetch(scan_train(
+                jnp.float32(0.0), params, opt_state, corrupted, prev, noise, target
+            ))
             result["compile_s"] = round(time.time() - t0, 1)
             t0 = time.perf_counter()
-            for _ in range(args.iters):
-                out = step(params, opt_state, corrupted, prev, noise, target)
-            jax.block_until_ready(out)
+            fetch(scan_train(
+                jnp.float32(1.0), params, opt_state, corrupted, prev, noise, target
+            ))
             result["train_step_ms"] = round(
                 (time.perf_counter() - t0) / args.iters * 1000, 2
             )
