@@ -277,27 +277,48 @@ class FunctionalGenerativeNetwork:
         noise = jnp.zeros((batch_size, self.noise_dimension))
         return self._jit_init(rng, state, noise)
 
-    def member_fn(self):
-        """Pure (params, prev_state [B,lon,lat,F], noise_vector) -> prediction."""
+    def member_fn(self, compute_dtype=None):
+        """Pure (params, prev_state [B,lon,lat,F], noise_vector) -> prediction.
+
+        compute_dtype=bf16 runs the network in bf16 (params/inputs/static
+        features cast; output back in f32) — same policy as
+        Denoiser.forward_fn."""
         module = self.module
-        consts = (
+        consts = [
             self.grid_node_feats,
             self.mesh_node_feats,
             self.g2m,
             self.khop,
             self.m2g,
-        )
+        ]
+        if compute_dtype is not None:
+            consts[0] = consts[0].astype(compute_dtype)
+            consts[1] = consts[1].astype(compute_dtype)
+            for i in (2, 3, 4):
+                consts[i] = consts[i].replace(
+                    edge_attr=consts[i].edge_attr.astype(compute_dtype)
+                )
+        consts = tuple(consts)
         to_nodes, from_nodes = self._to_nodes, self._from_nodes
 
         def fn(params, prev_state, noise_vector):
+            if compute_dtype is not None:
+                params = jax.tree_util.tree_map(
+                    lambda t: t.astype(compute_dtype)
+                    if jnp.issubdtype(t.dtype, jnp.floating)
+                    else t,
+                    params,
+                )
+                prev_state = prev_state.astype(compute_dtype)
+                noise_vector = noise_vector.astype(compute_dtype)
             out = module.apply(params, to_nodes(prev_state), noise_vector, *consts)
-            return from_nodes(out)
+            return from_nodes(out).astype(jnp.float32)
 
         return fn
 
-    def forward_fn(self, num_ensemble: int = 2):
+    def forward_fn(self, num_ensemble: int = 2, compute_dtype=None):
         """Pure (params, prev_state, key) -> [B, E, lon, lat, F_out]."""
-        member = self.member_fn()
+        member = self.member_fn(compute_dtype=compute_dtype)
         noise_dim = self.noise_dimension
 
         def fn(params, prev_state, key):

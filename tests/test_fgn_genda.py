@@ -102,6 +102,25 @@ class TestFGN:
         o_clu = m_clu(params, state, num_ensemble=2, key=jax.random.PRNGKey(4))
         np.testing.assert_allclose(o_seg, o_clu, atol=1e-3)
 
+    def test_bf16_compute_close_to_f32(self, fgn):
+        model, params = fgn
+        state = jnp.asarray(
+            np.random.default_rng(9).normal(size=(1, NLON, NLAT, 3)), jnp.float32
+        )
+        key = jax.random.PRNGKey(3)
+        out32 = jax.jit(model.forward_fn(2))(params, state, key)
+        out16 = jax.jit(model.forward_fn(2, compute_dtype=jnp.bfloat16))(
+            params, state, key
+        )
+        assert out16.dtype == jnp.float32
+        # Bulk statistics, as in the denoiser bf16 test: FGN's bounded
+        # output amplifies bf16 rounding for near-zero pre-activations on
+        # isolated elements, so an elementwise max bound is the wrong
+        # check at random init.
+        diff = np.abs(np.asarray(out32) - np.asarray(out16))
+        assert diff.mean() < 0.02
+        assert np.quantile(diff, 0.95) < 0.1
+
     def test_banded_requires_no_edge_features(self):
         grid_lon, grid_lat = _grids()
         with pytest.raises(ValueError, match="use_edges_features"):
