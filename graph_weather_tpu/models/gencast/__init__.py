@@ -15,6 +15,10 @@ from graph_weather_tpu.models.gencast.graphs import (
     build_graphcast_graphs,
 )
 from graph_weather_tpu.models.gencast.noise import sample_noise_level
+from graph_weather_tpu.models.gencast.rollout import (
+    jit_ar_rollout,
+    make_ar_rollout_fn,
+)
 from graph_weather_tpu.models.gencast.sampler import Sampler
 from graph_weather_tpu.models.gencast.weighted_mse_loss import WeightedMSELoss
 from graph_weather_tpu.ops.sht import generate_isotropic_noise
@@ -28,5 +32,7 @@ __all__ = [
     "WeightedMSELoss",
     "build_graphcast_graphs",
     "generate_isotropic_noise",
+    "jit_ar_rollout",
+    "make_ar_rollout_fn",
     "sample_noise_level",
 ]

@@ -384,6 +384,41 @@ class TestSampler:
         assert not np.allclose(np.asarray(s1), np.asarray(s2))
 
 
+class TestARRollout:
+    def test_default_update_shifts_window(self):
+        from graph_weather_tpu.models.gencast.rollout import default_update_fn
+
+        rng = np.random.default_rng(0)
+        prev = jnp.asarray(rng.normal(size=(1, 4, 3, 6)), jnp.float32)  # F_in=3
+        sample = jnp.asarray(rng.normal(size=(1, 4, 3, 2)), jnp.float32)
+        nxt = default_update_fn(prev, sample)
+        assert nxt.shape == prev.shape
+        np.testing.assert_array_equal(np.asarray(nxt[..., :3]), np.asarray(prev[..., 3:]))
+        np.testing.assert_allclose(
+            np.asarray(nxt[..., 3:5]),
+            np.asarray(prev[..., 3:5] + sample),
+            rtol=1e-6,
+        )
+        np.testing.assert_array_equal(np.asarray(nxt[..., 5:]), np.asarray(prev[..., 5:]))
+
+    def test_trajectory_shapes_and_stochasticity(self, denoiser_and_params):
+        from graph_weather_tpu.models.gencast import Sampler, jit_ar_rollout
+
+        den, params = denoiser_and_params
+        prev = jnp.asarray(
+            np.random.default_rng(1).normal(size=(1, NLON, NLAT, 6)), jnp.float32
+        )
+        rollout = jit_ar_rollout(Sampler(num_steps=3), den, num_ar_steps=3)
+        traj = rollout(params, jax.random.PRNGKey(0), prev)
+        assert traj.shape == (3, 1, NLON, NLAT, 2)
+        assert jnp.all(jnp.isfinite(traj))
+        assert not np.allclose(np.asarray(traj[0]), np.asarray(traj[1]))
+        final = jit_ar_rollout(
+            Sampler(num_steps=3), den, num_ar_steps=2, collect=False
+        )(params, jax.random.PRNGKey(0), prev)
+        assert final.shape == prev.shape
+
+
 class TestNoiseUtils:
     def test_noise_level_distribution_range(self):
         levels = sample_noise_level(jax.random.PRNGKey(0), (1000,))
