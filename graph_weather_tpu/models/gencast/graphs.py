@@ -111,6 +111,79 @@ class GraphCastGraphs:
         return self.m2g.edge_attr.shape[1]
 
 
+# Bump when the builder's output changes for identical arguments (cache
+# entries from older versions are then ignored).
+_GRAPH_CACHE_VERSION = 1
+
+
+def _graph_cache_path(args_key: tuple) -> "str | None":
+    import hashlib
+    import os
+
+    if os.environ.get("GRAPH_WEATHER_TPU_GRAPH_CACHE", "1") == "0":
+        return None
+    root = os.environ.get(
+        "GRAPH_WEATHER_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "graph_weather_tpu"),
+    )
+    h = hashlib.sha256(repr(args_key).encode()).hexdigest()[:24]
+    return os.path.join(root, f"graphs_v{_GRAPH_CACHE_VERSION}_{h}.npz")
+
+
+def _save_graphs_cache(path: str, graphs: "GraphCastGraphs") -> None:
+    import os
+
+    arrays = {
+        "grid_node_feats": graphs.grid_node_feats,
+        "mesh_node_feats": graphs.mesh_node_feats,
+        "mesh_vertices": graphs.mesh_vertices,
+        "has_khop": np.array(graphs.khop is not None),
+    }
+    bundles = {"g2m": graphs.g2m, "mesh": graphs.mesh, "m2g": graphs.m2g}
+    if graphs.khop is not None:
+        bundles["khop"] = graphs.khop
+    for name, b in bundles.items():
+        arrays[f"{name}_senders"] = b.senders
+        arrays[f"{name}_receivers"] = b.receivers
+        arrays[f"{name}_edge_attr"] = b.edge_attr
+        arrays[f"{name}_dims"] = np.array([b.n_senders, b.n_receivers])
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".{os.getpid()}.tmp.npz"  # atomic publish, race-safe
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def _load_graphs_cache(path: str) -> "GraphCastGraphs | None":
+    import os
+
+    if not os.path.exists(path):
+        return None
+    try:
+        z = np.load(path)
+
+        def bundle(name):
+            dims = z[f"{name}_dims"]
+            return GraphBundle(
+                senders=z[f"{name}_senders"],
+                receivers=z[f"{name}_receivers"],
+                edge_attr=z[f"{name}_edge_attr"],
+                n_senders=int(dims[0]),
+                n_receivers=int(dims[1]),
+            )
+
+        return GraphCastGraphs(
+            g2m=bundle("g2m"),
+            mesh=bundle("mesh"),
+            m2g=bundle("m2g"),
+            khop=bundle("khop") if bool(z["has_khop"]) else None,
+            grid_node_feats=z["grid_node_feats"],
+            mesh_node_feats=z["mesh_node_feats"],
+            mesh_vertices=z["mesh_vertices"],
+        )
+    except Exception:
+        return None  # corrupt/partial cache entry: rebuild
+
+
 def build_graphcast_graphs(
     grid_lon: np.ndarray,
     grid_lat: np.ndarray,
@@ -140,6 +213,18 @@ def build_graphcast_graphs(
     """
     grid_lon = np.asarray(grid_lon, dtype=np.float64)
     grid_lat = np.asarray(grid_lat, dtype=np.float64)
+    # Host graph construction takes ~40 s at splits 6; cache the result on
+    # disk keyed by ALL build inputs (opt out: GRAPH_WEATHER_TPU_GRAPH_CACHE=0,
+    # relocate: GRAPH_WEATHER_TPU_CACHE_DIR).
+    cache_path = _graph_cache_path((
+        grid_lon.tobytes(), grid_lat.tobytes(), splits, num_hops,
+        add_edge_features_to_khop, mesh2grid_edge_normalization_factor,
+        spatial_sort, mesh_orientation,
+    ))
+    if cache_path is not None:
+        cached = _load_graphs_cache(cache_path)
+        if cached is not None:
+            return cached
     # mesh_orientation="graphcast" reproduces the reference's icosahedron
     # rotation (geometry-identical graphs, e.g. for pretrained weights);
     # the default "pole" keeps a vertex at the north pole.
@@ -223,7 +308,7 @@ def build_graphcast_graphs(
             senders=ks, receivers=kr, edge_attr=k_attr, n_senders=n_mesh, n_receivers=n_mesh
         ).sorted_by_receiver()
 
-    return GraphCastGraphs(
+    graphs = GraphCastGraphs(
         g2m=g2m,
         mesh=mesh_bundle,
         m2g=m2g,
@@ -232,3 +317,6 @@ def build_graphcast_graphs(
         mesh_node_feats=node_spatial_features(mesh_lat, mesh_lon),
         mesh_vertices=mesh.vertices,
     )
+    if cache_path is not None:
+        _save_graphs_cache(cache_path, graphs)
+    return graphs

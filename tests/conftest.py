@@ -10,6 +10,9 @@ platform through jax.config.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests exercise the real graph builders; only TestGraphCache opts back in
+# (monkeypatch) to cover the cache itself.
+os.environ.setdefault("GRAPH_WEATHER_TPU_GRAPH_CACHE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

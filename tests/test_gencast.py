@@ -447,3 +447,40 @@ class TestComputeDtype:
         # bulk statistics to agree (measured 1e-3 mean at realistic scale)
         assert float(jnp.abs(o32 - o16).mean()) < 0.02
         assert float(jnp.abs(o32 - o16).max()) < 0.5
+
+
+class TestGraphCache:
+    def test_roundtrip_identical(self, tmp_path, monkeypatch):
+        """Cached graphs load bit-identical to a fresh build."""
+        monkeypatch.setenv("GRAPH_WEATHER_TPU_CACHE_DIR", str(tmp_path))
+        monkeypatch.setenv("GRAPH_WEATHER_TPU_GRAPH_CACHE", "1")
+        from graph_weather_tpu.models.gencast.graphs import build_graphcast_graphs
+
+        kw = dict(splits=2, num_hops=2, add_edge_features_to_khop=False,
+                  spatial_sort="rcb")
+        lon, lat = np.arange(0, 360, 30.0), np.linspace(-90, 90, 7)
+        fresh = build_graphcast_graphs(lon, lat, **kw)
+        assert len(list(tmp_path.iterdir())) == 1  # one cache entry written
+        cached = build_graphcast_graphs(lon, lat, **kw)
+        for name in ("g2m", "mesh", "m2g", "khop"):
+            a, b = getattr(fresh, name), getattr(cached, name)
+            np.testing.assert_array_equal(a.senders, b.senders)
+            np.testing.assert_array_equal(a.receivers, b.receivers)
+            np.testing.assert_array_equal(a.edge_attr, b.edge_attr)
+            assert (a.n_senders, a.n_receivers) == (b.n_senders, b.n_receivers)
+        np.testing.assert_array_equal(fresh.grid_node_feats, cached.grid_node_feats)
+        np.testing.assert_array_equal(fresh.mesh_vertices, cached.mesh_vertices)
+        # different args -> different entry, not a stale hit
+        other = build_graphcast_graphs(lon, lat, splits=2, num_hops=1,
+                                       add_edge_features_to_khop=False)
+        assert other.khop.n_edges != fresh.khop.n_edges
+        assert len(list(tmp_path.iterdir())) == 2
+
+    def test_cache_disabled(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("GRAPH_WEATHER_TPU_CACHE_DIR", str(tmp_path))
+        monkeypatch.setenv("GRAPH_WEATHER_TPU_GRAPH_CACHE", "0")
+        from graph_weather_tpu.models.gencast.graphs import build_graphcast_graphs
+
+        build_graphcast_graphs(np.arange(0, 360, 45.0), np.linspace(-90, 90, 5),
+                               splits=2)
+        assert list(tmp_path.iterdir()) == []
