@@ -17,6 +17,11 @@ from graph_weather_tpu.parallel.halo import (
     make_halo_processor,
     partition_latent_graph,
 )
+from graph_weather_tpu.parallel.ensemble import (
+    make_sharded_ensemble_fn,
+    sharded_fgn_ensemble,
+    sharded_sampler_ensemble,
+)
 from graph_weather_tpu.parallel.multihost import (
     distributed_init,
     place_process_batch,
@@ -27,10 +32,13 @@ __all__ = [
     "distributed_init",
     "make_halo_processor",
     "make_mesh",
+    "make_sharded_ensemble_fn",
     "partition_latent_graph",
     "node_sharded_forward",
     "place_process_batch",
     "shard_batch",
     "shard_params_fsdp",
+    "sharded_fgn_ensemble",
+    "sharded_sampler_ensemble",
     "sharding_for_tree",
 ]
