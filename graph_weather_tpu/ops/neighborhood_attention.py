@@ -6,15 +6,19 @@ match NATTEN: every query attends to exactly kernel_size neighbors; near
 boundaries the window CLAMPS (slides inward, "bump" behavior), and a
 learnable relative-position bias indexed by (key - query) offset is added.
 
-Implementation: windows are materialized with three static axis-gathers
-(jnp.take with precomputable index tables), logits/softmax/weighted-sum are
-einsums. This is fully fused by XLA at moderate latent sizes; a blocked
-Pallas kernel with halo-in-VMEM is the planned upgrade for very large
-grids. Optional circular wrapping on the last (longitude) axis.
+Implementation: a `lax.scan` over the Kd*Kh*Kw window SLOTS with online
+(flash-style) softmax accumulation — per step one axis-gathered key/value
+volume, so peak memory is O(volume), independent of the window size. The
+earlier implementation materialized all windows at once
+([..., Kd, Kh, Kw, ...] = window x volume memory), which blew past VMEM
+planning at production WeatherMesh scales (25 levels x 1 degree,
+kernel (3,5,5) = 75x). Optional circular wrapping on the last
+(longitude) axis.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,34 +60,56 @@ def neighborhood_attention_3d(
     idx_h, rel_h = _window_indices(h, kh, False)
     idx_w, rel_w = _window_indices(w, kw, circular_w)
 
-    # Gather windows one axis at a time.
-    def windows(t):
-        t = jnp.take(t, jnp.asarray(idx_d), axis=1)  # [B, D, Kd, H, W, n, c]
-        t = jnp.take(t, jnp.asarray(idx_h), axis=3)  # [B, D, Kd, H, Kh, W, n, c]
-        t = jnp.take(t, jnp.asarray(idx_w), axis=5)  # [B, D, Kd, H, Kh, W, Kw, n, c]
-        return t
-
-    k_win = windows(k)
-    v_win = windows(v)
+    # Per-slot gather tables, stacked over the flattened window slot axis:
+    # slot s = (x, y, z) -> index vectors [D], [H], [W].
+    slots = [(x, y, z) for x in range(kd) for y in range(kh) for z in range(kw)]
+    tab_d = jnp.asarray(np.stack([idx_d[:, x] for x, _, _ in slots]))  # [K, D]
+    tab_h = jnp.asarray(np.stack([idx_h[:, y] for _, y, _ in slots]))  # [K, H]
+    tab_w = jnp.asarray(np.stack([idx_w[:, z] for _, _, z in slots]))  # [K, W]
+    rtab_d = jnp.asarray(np.stack([rel_d[:, x] for x, _, _ in slots]))
+    rtab_h = jnp.asarray(np.stack([rel_h[:, y] for _, y, _ in slots]))
+    rtab_w = jnp.asarray(np.stack([rel_w[:, z] for _, _, z in slots]))
 
     scale = ch**-0.5
-    logits = jnp.einsum(
-        "bdhwnc,bdxhywznc->bdhwnxyz", q * scale, k_win
-    )  # [B, D, H, W, heads, Kd, Kh, Kw]
+    qs = (q * scale).astype(jnp.float32)
+    neg = jnp.float32(-1e30)
 
-    if rpb is not None:
-        # rpb gathered per axis: [heads, D, Kd, H, Kh, W, Kw]
-        bias = rpb[:, jnp.asarray(rel_d)]  # [n, D, Kd, 2Kh-1, 2Kw-1]
-        bias = jnp.moveaxis(bias, 3, 3)
-        bias = bias[:, :, :, jnp.asarray(rel_h)]  # [n, D, Kd, H, Kh, 2Kw-1]
-        bias = bias[..., jnp.asarray(rel_w)]  # [n, D, Kd, H, Kh, W, Kw]
-        bias = jnp.transpose(bias, (1, 3, 5, 0, 2, 4, 6))  # [D,H,W,n,Kd,Kh,Kw]
-        logits = logits + bias[None]
+    def slot_logits(s):
+        """One window slot: gathered K volume -> logits + bias [B,D,H,W,n].
 
-    flat = logits.reshape(logits.shape[:5] + (kd * kh * kw,))
-    attn = jnp.exp(flat - flat.max(axis=-1, keepdims=True))
-    attn = attn / attn.sum(axis=-1, keepdims=True)
-    attn = attn.reshape(logits.shape)
+        Per-axis takes, NOT one fused flat gather: axis-takes are
+        structured block copies XLA handles near bandwidth, while a flat
+        [D*H*W]-index gather of tiny rows measured 4.4x slower on v5e."""
+        ks = jnp.take(k, tab_d[s], axis=1)
+        ks = jnp.take(ks, tab_h[s], axis=2)
+        ks = jnp.take(ks, tab_w[s], axis=3)
+        logits = jnp.einsum("bdhwnc,bdhwnc->bdhwn", qs, ks.astype(jnp.float32))
+        if rpb is not None:
+            bias = rpb[:, rtab_d[s]]  # [n, D, 2Kh-1, 2Kw-1]
+            bias = bias[:, :, rtab_h[s]]  # [n, D, H, 2Kw-1]
+            bias = bias[:, :, :, rtab_w[s]]  # [n, D, H, W]
+            logits = logits + jnp.transpose(bias, (1, 2, 3, 0))[None].astype(
+                jnp.float32
+            )
+        vs = jnp.take(v, tab_d[s], axis=1)
+        vs = jnp.take(vs, tab_h[s], axis=2)
+        vs = jnp.take(vs, tab_w[s], axis=3)
+        return logits, vs
 
-    out = jnp.einsum("bdhwnxyz,bdxhywznc->bdhwnc", attn, v_win)
-    return out
+    def step(carry, s):
+        m, l, acc = carry
+        logits, vs = slot_logits(s)
+        m_new = jnp.maximum(m, logits)
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new)
+        l_new = l * alpha + p
+        acc_new = acc * alpha[..., None] + p[..., None] * vs.astype(jnp.float32)
+        return (m_new, l_new, acc_new), None
+
+    m0 = jnp.full((b, d, h, w, heads), neg, jnp.float32)
+    l0 = jnp.zeros((b, d, h, w, heads), jnp.float32)
+    acc0 = jnp.zeros((b, d, h, w, heads, ch), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(
+        step, (m0, l0, acc0), jnp.arange(len(slots))
+    )
+    return (acc / l[..., None]).astype(q.dtype)

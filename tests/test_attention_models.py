@@ -108,6 +108,47 @@ class TestNeighborhoodAttention:
         assert not np.allclose(np.asarray(out_c[..., 0, :, :]), np.asarray(out_p[..., 0, :, :]))
 
 
+class TestNeighborhoodAttentionBruteForce:
+    def test_matches_materialized_windows(self):
+        """The online-softmax scan over window slots must equal explicit
+        window materialization (clamped NATTEN semantics, with RPB)."""
+        from graph_weather_tpu.ops.neighborhood_attention import _window_indices
+
+        rng = np.random.default_rng(3)
+        b, d, h, w, n, c = 1, 4, 5, 6, 2, 4
+        kd, kh, kw = 3, 3, 3
+        q = jnp.asarray(rng.normal(size=(b, d, h, w, n, c)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, d, h, w, n, c)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, d, h, w, n, c)), jnp.float32)
+        rpb = jnp.asarray(
+            rng.normal(size=(n, 2 * kd - 1, 2 * kh - 1, 2 * kw - 1)), jnp.float32
+        )
+        out = neighborhood_attention_3d(q, k, v, (kd, kh, kw), rpb=rpb)
+
+        idx_d, rel_d = _window_indices(d, kd, False)
+        idx_h, rel_h = _window_indices(h, kh, False)
+        idx_w, rel_w = _window_indices(w, kw, False)
+        ref = np.zeros((b, d, h, w, n, c), np.float32)
+        qn, kn, vn, rn = map(np.asarray, (q, k, v, rpb))
+        for di in range(d):
+            for hi in range(h):
+                for wi in range(w):
+                    for ni in range(n):
+                        logits, vals = [], []
+                        for x in range(kd):
+                            for y in range(kh):
+                                for z in range(kw):
+                                    kd_i, kh_i, kw_i = idx_d[di, x], idx_h[hi, y], idx_w[wi, z]
+                                    sc = (qn[0, di, hi, wi, ni] @ kn[0, kd_i, kh_i, kw_i, ni]) / np.sqrt(c)
+                                    sc += rn[ni, rel_d[di, x], rel_h[hi, y], rel_w[wi, z]]
+                                    logits.append(sc)
+                                    vals.append(vn[0, kd_i, kh_i, kw_i, ni])
+                        a = np.exp(logits - np.max(logits))
+                        a /= a.sum()
+                        ref[0, di, hi, wi, ni] = (a[:, None] * np.stack(vals)).sum(0)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
 class TestAurora:
     @pytest.fixture(scope="class")
     def aurora(self):
