@@ -35,9 +35,7 @@ from graph_weather_tpu.ops.pallas.banded_flash import (
     _NEG,
     _SAFE,
     _VMEM_BUDGET,
-    _fuse_heads,
     _mask_bias,
-    _pad_c,
     _pick_group,
 )
 
@@ -227,7 +225,7 @@ def _bwd_kernel_onepass(
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def clustered_flash_attention(
-    q: jnp.ndarray,  # [N, H, C] (batch: vmap this function)
+    q: jnp.ndarray,  # [N, H, C] or [B, N, H, C] (batch-native)
     k: jnp.ndarray,
     v: jnp.ndarray,
     gather_ids: jnp.ndarray,  # [nb, U_pad] int32 (padding -> row 0, masked)
@@ -237,8 +235,11 @@ def clustered_flash_attention(
 ) -> jnp.ndarray:
     """Graph attention over per-block gathered neighbor unions.
 
-    Returns [N, H, C]; receivers with no neighbors get exact zeros.
+    Returns the input shape; receivers with no neighbors get exact zeros.
     Differentiable (hand-written flash backward + XLA scatter-add).
+    Batched inputs fold B into the kernel's block-grid axis with the
+    shared masks indexed modulo nb — do NOT vmap this function (the
+    pallas batching rule broadcasts the shared mask/ids operands).
     """
     return _clustered(q, k, v, gather_ids, masks, block, interpret)
 
@@ -272,24 +273,35 @@ _clustered.defvjp(_clustered_fwd, _clustered_bwd)
 
 
 def _gather_kv(t, gather_ids):
-    """[N, hc] -> [nb, U_pad, hc] block-local rows.
+    """[B, N, hc] -> [B*nb, U_pad, hc] block-local rows.
 
     Padding slots in gather_ids point at row 0 (a real row — no copy to
     append a dummy); their mask columns are all-False so they contribute
     exactly zero in forward and backward (see meshes/clustering.py)."""
-    return jnp.take(t, gather_ids, axis=0)
+    b = t.shape[0]
+    loc = jnp.take(t, gather_ids, axis=1)  # [B, nb, U_pad, hc]
+    return loc.reshape((b * gather_ids.shape[0],) + loc.shape[2:])
 
 
 def _layout(q, k, v, block, nb):
-    n, h, c = q.shape
+    """Batch-folded layout: [B, n, h, c] inputs -> [B*nb, block, hc] query
+    blocks + [B, n, hc] flat key/value rows. The kernels' leading grid
+    axis then ranges over B*nb, with the (batch-shared) masks indexed
+    modulo nb — no mask tiling, no vmap batching rule."""
+    bsz, n, h, c = q.shape
     n_pad = nb * block
     scale = 1.0 / (c**0.5)
     c_true = c
-    c, (q, k, v) = _pad_c(c, q, k, v)
+    c_pad = -(-c // 128) * 128
+    if c_pad != c:
+        pads = ((0, 0), (0, 0), (0, 0), (0, c_pad - c))
+        q, k, v = (jnp.pad(a, pads) for a in (q, k, v))
+        c = c_pad
     hc = h * c
-    q_p = _fuse_heads(q, n_pad).reshape(nb, block, hc)
-    k_f = _fuse_heads(k, n)  # no row padding needed (gathered by row id)
-    v_f = _fuse_heads(v, n)
+    row_pad = ((0, 0), (0, n_pad - n), (0, 0), (0, 0))
+    q_p = jnp.pad(q, row_pad).reshape(bsz * nb, block, hc)
+    k_f = k.reshape(bsz, n, hc)  # no row padding needed (gathered by id)
+    v_f = v.reshape(bsz, n, hc)
     return n, h, c, c_true, hc, n_pad, scale, q_p, k_f, v_f
 
 
@@ -297,10 +309,15 @@ def _clustered_impl(q, k, v, gather_ids, masks, block, interpret, with_lse):
     nb, u_pad = gather_ids.shape
     if u_pad % _KT or block % 8:
         raise ValueError(f"U_pad={u_pad} must be a multiple of {_KT}")
+    squeeze = q.ndim == 3
+    if squeeze:
+        q, k, v = q[None], k[None], v[None]
+    bsz = q.shape[0]
     n, h, c, c_true, hc, n_pad, scale, q_p, k_f, v_f = _layout(
         q, k, v, block, nb
     )
-    k_loc = _gather_kv(k_f, gather_ids)  # [nb, U_pad, hc]
+    bnb = bsz * nb
+    k_loc = _gather_kv(k_f, gather_ids)  # [B*nb, U_pad, hc]
     v_loc = _gather_kv(v_f, gather_ids)
     masks8 = masks.astype(jnp.int8)
     n_ut = u_pad // _KT
@@ -318,25 +335,25 @@ def _clustered_impl(q, k, v, gather_ids, masks, block, interpret, with_lse):
     )
     if onepass_bytes <= _VMEM_BUDGET:
         out_specs = [pl.BlockSpec((1, block, c), lambda b, g, t: (b, 0, g))]
-        out_shapes = [jax.ShapeDtypeStruct((nb, block, hc), q_p.dtype)]
+        out_shapes = [jax.ShapeDtypeStruct((bnb, block, hc), q_p.dtype)]
         if with_lse:
             out_specs.append(
                 pl.BlockSpec((1, block, 128), lambda b, g, t: (b, 0, g))
             )
             out_shapes.append(
-                jax.ShapeDtypeStruct((nb, block, h * 128), jnp.float32)
+                jax.ShapeDtypeStruct((bnb, block, h * 128), jnp.float32)
             )
         res = pl.pallas_call(
             functools.partial(
                 _fwd_kernel_onepass,
                 n_ut=n_ut, scale=scale, c=c, with_lse=with_lse,
             ),
-            grid=(nb, h, n_ut),
+            grid=(bnb, h, n_ut),
             in_specs=[
                 pl.BlockSpec((1, block, c), lambda b, g, t: (b, 0, g)),
                 pl.BlockSpec((1, _KT, c), lambda b, g, t: (b, t, g)),
                 pl.BlockSpec((1, u_pad, c), lambda b, g, t: (b, 0, g)),
-                pl.BlockSpec((1, block, u_pad), lambda b, g, t: (b, 0, 0)),
+                pl.BlockSpec((1, block, u_pad), lambda b, g, t: (b % nb, 0, 0)),
             ],
             out_specs=out_specs if with_lse else out_specs[0],
             out_shape=out_shapes if with_lse else out_shapes[0],
@@ -350,8 +367,8 @@ def _clustered_impl(q, k, v, gather_ids, masks, block, interpret, with_lse):
             out, lse = res
         else:
             out, lse = res, None
-        out = out.reshape(n_pad, h, c)[:n, :, :c_true]
-        return out, lse
+        out = out.reshape(bsz, n_pad, h, c)[:, :n, :, :c_true]
+        return (out[0] if squeeze else out), lse
 
     def est(g):
         gc = g * c
@@ -368,24 +385,24 @@ def _clustered_impl(q, k, v, gather_ids, masks, block, interpret, with_lse):
     g_sz = _pick_group(h, est)
     gc = g_sz * c
     out_specs = [pl.BlockSpec((1, block, gc), lambda b, g, t: (b, 0, g))]
-    out_shapes = [jax.ShapeDtypeStruct((nb, block, hc), q_p.dtype)]
+    out_shapes = [jax.ShapeDtypeStruct((bnb, block, hc), q_p.dtype)]
     if with_lse:
         out_specs.append(
             pl.BlockSpec((1, block, g_sz * 128), lambda b, g, t: (b, 0, g))
         )
         out_shapes.append(
-            jax.ShapeDtypeStruct((nb, block, h * 128), jnp.float32)
+            jax.ShapeDtypeStruct((bnb, block, h * 128), jnp.float32)
         )
     res = pl.pallas_call(
         functools.partial(
             _fwd_kernel, n_ut=n_ut, scale=scale, c=c, with_lse=with_lse
         ),
-        grid=(nb, h // g_sz, n_ut),
+        grid=(bnb, h // g_sz, n_ut),
         in_specs=[
             pl.BlockSpec((1, block, gc), lambda b, g, t: (b, 0, g)),
             pl.BlockSpec((1, _KT, gc), lambda b, g, t: (b, t, g)),
             pl.BlockSpec((1, _KT, gc), lambda b, g, t: (b, t, g)),
-            pl.BlockSpec((1, block, _KT), lambda b, g, t: (b, 0, t)),
+            pl.BlockSpec((1, block, _KT), lambda b, g, t: (b % nb, 0, t)),
         ],
         out_specs=out_specs if with_lse else out_specs[0],
         out_shape=out_shapes if with_lse else out_shapes[0],
@@ -403,25 +420,36 @@ def _clustered_impl(q, k, v, gather_ids, masks, block, interpret, with_lse):
         out, lse = res
     else:
         out, lse = res, None
-    out = out.reshape(n_pad, h, c)[:n, :, :c_true]
-    return out, lse
+    out = out.reshape(bsz, n_pad, h, c)[:, :n, :, :c_true]
+    return (out[0] if squeeze else out), lse
 
 
 def _clustered_bwd_impl(q, k, v, gather_ids, masks, out, lse, g, block, interpret):
     nb, u_pad = gather_ids.shape
+    squeeze = q.ndim == 3
+    if squeeze:
+        q, k, v, out, g = q[None], k[None], v[None], out[None], g[None]
+    bsz = q.shape[0]
     n, h, c, c_true, hc, n_pad, scale, q_p, k_f, v_f = _layout(
         q, k, v, block, nb
     )
+    bnb = bsz * nb
     in_dtype = q_p.dtype
     dt = in_dtype.itemsize
-    g_f = _fuse_heads(
-        jnp.pad(g, ((0, 0), (0, 0), (0, c - c_true))) if c != c_true else g, n_pad
-    ).reshape(nb, block, hc)
+    if c != c_true:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, c - c_true)))
+    g_f = jnp.pad(g, ((0, 0), (0, n_pad - n), (0, 0), (0, 0))).reshape(
+        bnb, block, hc
+    )
 
-    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    delta = jnp.pad(delta, ((0, n_pad - n), (0, 0))).reshape(nb, block, h, 1)
-    delta = jnp.broadcast_to(delta, (nb, block, h, 128)).reshape(
-        nb, block, h * 128
+    delta = jnp.sum(
+        g.astype(jnp.float32)[..., :c_true] * out.astype(jnp.float32), axis=-1
+    )
+    delta = jnp.pad(delta, ((0, 0), (0, n_pad - n), (0, 0))).reshape(
+        bnb, block, h, 1
+    )
+    delta = jnp.broadcast_to(delta, (bnb, block, h, 128)).reshape(
+        bnb, block, h * 128
     )
 
     k_loc = _gather_kv(k_f, gather_ids)
@@ -439,12 +467,12 @@ def _clustered_bwd_impl(q, k, v, gather_ids, masks, out, lse, g, block, interpre
     if onepass_bytes <= _VMEM_BUDGET:
         dq, dk_loc, dv_loc = pl.pallas_call(
             functools.partial(_bwd_kernel_onepass, scale=scale),
-            grid=(nb, h),
+            grid=(bnb, h),
             in_specs=[
                 pl.BlockSpec((1, block, c), lambda b, g: (b, 0, g)),
                 pl.BlockSpec((1, u_pad, c), lambda b, g: (b, 0, g)),
                 pl.BlockSpec((1, u_pad, c), lambda b, g: (b, 0, g)),
-                pl.BlockSpec((1, block, u_pad), lambda b, g: (b, 0, 0)),
+                pl.BlockSpec((1, block, u_pad), lambda b, g: (b % nb, 0, 0)),
                 pl.BlockSpec((1, block, c), lambda b, g: (b, 0, g)),
                 pl.BlockSpec((1, block, 128), lambda b, g: (b, 0, g)),
                 pl.BlockSpec((1, block, 128), lambda b, g: (b, 0, g)),
@@ -455,9 +483,9 @@ def _clustered_bwd_impl(q, k, v, gather_ids, masks, out, lse, g, block, interpre
                 pl.BlockSpec((1, u_pad, c), lambda b, g: (b, 0, g)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((nb, block, hc), in_dtype),
-                jax.ShapeDtypeStruct((nb, u_pad, hc), in_dtype),
-                jax.ShapeDtypeStruct((nb, u_pad, hc), in_dtype),
+                jax.ShapeDtypeStruct((bnb, block, hc), in_dtype),
+                jax.ShapeDtypeStruct((bnb, u_pad, hc), in_dtype),
+                jax.ShapeDtypeStruct((bnb, u_pad, hc), in_dtype),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")
@@ -465,8 +493,8 @@ def _clustered_bwd_impl(q, k, v, gather_ids, masks, out, lse, g, block, interpre
             interpret=interpret,
         )(q_p, k_loc, v_loc, masks8, g_f, lse, delta)
         return _bwd_scatter(
-            dq, dk_loc, dv_loc, gather_ids, n, n_pad, nb, u_pad, h, c,
-            c_true, hc, in_dtype,
+            dq, dk_loc, dv_loc, gather_ids, bsz, n, n_pad, nb, u_pad, h, c,
+            c_true, hc, in_dtype, squeeze,
         )
 
     def est(gs):
@@ -486,12 +514,12 @@ def _clustered_bwd_impl(q, k, v, gather_ids, masks, out, lse, g, block, interpre
 
     dq, dk_loc, dv_loc = pl.pallas_call(
         functools.partial(_bwd_kernel, n_ut=n_ut, scale=scale, c=c),
-        grid=(nb, h // g_sz, n_ut),
+        grid=(bnb, h // g_sz, n_ut),
         in_specs=[
             pl.BlockSpec((1, block, gc), lambda b, g, t: (b, 0, g)),
             pl.BlockSpec((1, _KT, gc), lambda b, g, t: (b, t, g)),
             pl.BlockSpec((1, _KT, gc), lambda b, g, t: (b, t, g)),
-            pl.BlockSpec((1, block, _KT), lambda b, g, t: (b, 0, t)),
+            pl.BlockSpec((1, block, _KT), lambda b, g, t: (b % nb, 0, t)),
             pl.BlockSpec((1, block, gc), lambda b, g, t: (b, 0, g)),
             pl.BlockSpec((1, block, g_sz * 128), lambda b, g, t: (b, 0, g)),
             pl.BlockSpec((1, block, g_sz * 128), lambda b, g, t: (b, 0, g)),
@@ -502,9 +530,9 @@ def _clustered_bwd_impl(q, k, v, gather_ids, masks, out, lse, g, block, interpre
             pl.BlockSpec((1, _KT, gc), lambda b, g, t: (b, t, g)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, block, hc), in_dtype),
-            jax.ShapeDtypeStruct((nb, u_pad, hc), in_dtype),
-            jax.ShapeDtypeStruct((nb, u_pad, hc), in_dtype),
+            jax.ShapeDtypeStruct((bnb, block, hc), in_dtype),
+            jax.ShapeDtypeStruct((bnb, u_pad, hc), in_dtype),
+            jax.ShapeDtypeStruct((bnb, u_pad, hc), in_dtype),
         ],
         scratch_shapes=[pltpu.VMEM((block, gc), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -514,27 +542,33 @@ def _clustered_bwd_impl(q, k, v, gather_ids, masks, out, lse, g, block, interpre
     )(q_p, k_loc, v_loc, masks8, g_f, lse, delta)
 
     return _bwd_scatter(
-        dq, dk_loc, dv_loc, gather_ids, n, n_pad, nb, u_pad, h, c,
-        c_true, hc, in_dtype,
+        dq, dk_loc, dv_loc, gather_ids, bsz, n, n_pad, nb, u_pad, h, c,
+        c_true, hc, in_dtype, squeeze,
     )
 
 
 def _bwd_scatter(
-    dq, dk_loc, dv_loc, gather_ids, n, n_pad, nb, u_pad, h, c, c_true, hc,
-    in_dtype,
+    dq, dk_loc, dv_loc, gather_ids, bsz, n, n_pad, nb, u_pad, h, c, c_true,
+    hc, in_dtype, squeeze,
 ):
-    """Scatter block-local dk/dv back to global rows.
+    """Scatter block-local dk/dv back to global rows (per batch element).
 
     Unions overlap across blocks; padding slots point at row 0 with
     identically-zero columns, so they add exact zeros there."""
-    dq = dq.reshape(n_pad, h, c)[:n, :, :c_true]
+    dq = dq.reshape(bsz, n_pad, h, c)[:, :n, :, :c_true]
     ids = gather_ids.reshape(-1)
-    dk = jax.ops.segment_sum(
-        dk_loc.reshape(nb * u_pad, hc).astype(jnp.float32), ids, num_segments=n
+
+    def seg(t):
+        return jax.ops.segment_sum(t, ids, num_segments=n)
+
+    dk = jax.vmap(seg)(
+        dk_loc.reshape(bsz, nb * u_pad, hc).astype(jnp.float32)
     )
-    dv = jax.ops.segment_sum(
-        dv_loc.reshape(nb * u_pad, hc).astype(jnp.float32), ids, num_segments=n
+    dv = jax.vmap(seg)(
+        dv_loc.reshape(bsz, nb * u_pad, hc).astype(jnp.float32)
     )
-    dk = dk.astype(in_dtype).reshape(n, h, c)[:, :, :c_true]
-    dv = dv.astype(in_dtype).reshape(n, h, c)[:, :, :c_true]
+    dk = dk.astype(in_dtype).reshape(bsz, n, h, c)[..., :c_true]
+    dv = dv.astype(in_dtype).reshape(bsz, n, h, c)[..., :c_true]
+    if squeeze:
+        return dq[0], dk[0], dv[0]
     return dq, dk, dv

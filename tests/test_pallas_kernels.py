@@ -291,6 +291,58 @@ class TestClusteredFlash:
                 np.asarray(a), np.asarray(b), atol=3e-4, err_msg=f"d{name}"
             )
 
+    def test_batched_matches_per_sample(self):
+        """[B, N, h, c] inputs (B folded into the kernel grid) must equal
+        per-sample calls, in forward and in gradients."""
+        from graph_weather_tpu.meshes.clustering import build_cluster_layout
+        from graph_weather_tpu.ops.pallas.clustered_flash import (
+            clustered_flash_attention,
+        )
+
+        rng = np.random.default_rng(5)
+        n, h, c, block, B = 1200, 2, 32, 512, 3
+        s_ids, r_ids = self._random_graph(rng, n, deg=6)
+        layout = build_cluster_layout(s_ids, r_ids, n, n, block=block)
+        ids = jnp.asarray(layout.gather_ids)
+        masks = jnp.asarray(layout.masks)
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((B, n, h, c)), jnp.float32)
+            for _ in range(3)
+        )
+        cot = jnp.asarray(rng.standard_normal((B, n, h, c)), jnp.float32)
+
+        out_b = clustered_flash_attention(q, k, v, ids, masks, block, interpret=True)
+        for i in range(B):
+            out_i = clustered_flash_attention(
+                q[i], k[i], v[i], ids, masks, block, interpret=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(out_b[i]), np.asarray(out_i), atol=2e-5
+            )
+
+        def loss_b(q, k, v):
+            return jnp.sum(
+                clustered_flash_attention(q, k, v, ids, masks, block, interpret=True)
+                * cot
+            )
+
+        def loss_i(q, k, v, i):
+            return jnp.sum(
+                clustered_flash_attention(q, k, v, ids, masks, block, interpret=True)
+                * cot[i]
+            )
+
+        g_b = jax.grad(loss_b, argnums=(0, 1, 2))(q, k, v)
+        for i in range(B):
+            g_i = jax.grad(
+                lambda q_, k_, v_: loss_i(q_, k_, v_, i), argnums=(0, 1, 2)
+            )(q[i], k[i], v[i])
+            for name, a, b in zip("q k v".split(), g_b, g_i):
+                np.testing.assert_allclose(
+                    np.asarray(a[i]), np.asarray(b), atol=3e-4,
+                    err_msg=f"d{name}[{i}]",
+                )
+
     def test_denoiser_clustered_matches_segment(self, monkeypatch):
         """End-to-end: Denoiser(attention_impl='clustered_flash') output
         equals the segment-softmax path (same weights, no edge feats).
