@@ -194,11 +194,17 @@ class GraphTransformerConv(nn.Module):
         x: jnp.ndarray,  # [..., N, F]
         graph: DeviceGraph,
         edge_attr: Optional[jnp.ndarray] = None,  # [..., E, Fe] or [E, Fe]
+        kv_source: Optional[jnp.ndarray] = None,  # [..., N_kv, F]
     ) -> jnp.ndarray:
+        """kv_source (default x) is the node set keys/values are computed
+        from; graph sender ids index into it. Block-sharded processors
+        pass the shard-local x for queries/skip and the all-gathered
+        global rows as kv_source (parallel/gencast_spatial.py)."""
         h, c = self.num_heads, self.out_channels
+        xs = x if kv_source is None else kv_source
         q = TorchLinear(h * c)(x)
-        k = TorchLinear(h * c)(x)
-        v = TorchLinear(h * c)(x)
+        k = TorchLinear(h * c)(xs)
+        v = TorchLinear(h * c)(xs)
 
         if graph.cluster_ids is not None and (
             not self.use_edge_features or edge_attr is None
@@ -333,6 +339,7 @@ class CondTransformerBlock(nn.Module):
         graph: DeviceGraph,
         edge_attr: Optional[jnp.ndarray] = None,
         cond: Optional[jnp.ndarray] = None,
+        kv_source: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         x = GraphTransformerConv(
             self.out_channels,
@@ -340,7 +347,7 @@ class CondTransformerBlock(nn.Module):
             concat=self.concat,
             beta=self.beta,
             use_edge_features=self.use_edge_features,
-        )(x, graph, edge_attr)
+        )(x, graph, edge_attr, kv_source=kv_source)
         if cond is not None:
             final_dim = (
                 self.num_heads * self.out_channels if self.concat else self.out_channels

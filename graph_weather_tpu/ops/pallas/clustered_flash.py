@@ -285,10 +285,13 @@ def _gather_kv(t, gather_ids):
 
 def _layout(q, k, v, block, nb):
     """Batch-folded layout: [B, n, h, c] inputs -> [B*nb, block, hc] query
-    blocks + [B, n, hc] flat key/value rows. The kernels' leading grid
+    blocks + [B, n_kv, hc] flat key/value rows. The kernels' leading grid
     axis then ranges over B*nb, with the (batch-shared) masks indexed
-    modulo nb — no mask tiling, no vmap batching rule."""
+    modulo nb — no mask tiling, no vmap batching rule. n_kv may differ
+    from n (block-sharded processors pass local query rows against
+    all-gathered global key/value rows)."""
     bsz, n, h, c = q.shape
+    n_kv = k.shape[1]
     n_pad = nb * block
     scale = 1.0 / (c**0.5)
     c_true = c
@@ -300,8 +303,8 @@ def _layout(q, k, v, block, nb):
     hc = h * c
     row_pad = ((0, 0), (0, n_pad - n), (0, 0), (0, 0))
     q_p = jnp.pad(q, row_pad).reshape(bsz * nb, block, hc)
-    k_f = k.reshape(bsz, n, hc)  # no row padding needed (gathered by id)
-    v_f = v.reshape(bsz, n, hc)
+    k_f = k.reshape(bsz, n_kv, hc)  # no row padding needed (gathered by id)
+    v_f = v.reshape(bsz, n_kv, hc)
     return n, h, c, c_true, hc, n_pad, scale, q_p, k_f, v_f
 
 
@@ -430,6 +433,7 @@ def _clustered_bwd_impl(q, k, v, gather_ids, masks, out, lse, g, block, interpre
     if squeeze:
         q, k, v, out, g = q[None], k[None], v[None], out[None], g[None]
     bsz = q.shape[0]
+    n_kv = k.shape[1]
     n, h, c, c_true, hc, n_pad, scale, q_p, k_f, v_f = _layout(
         q, k, v, block, nb
     )
@@ -493,8 +497,8 @@ def _clustered_bwd_impl(q, k, v, gather_ids, masks, out, lse, g, block, interpre
             interpret=interpret,
         )(q_p, k_loc, v_loc, masks8, g_f, lse, delta)
         return _bwd_scatter(
-            dq, dk_loc, dv_loc, gather_ids, bsz, n, n_pad, nb, u_pad, h, c,
-            c_true, hc, in_dtype, squeeze,
+            dq, dk_loc, dv_loc, gather_ids, bsz, n, n_kv, n_pad, nb, u_pad,
+            h, c, c_true, hc, in_dtype, squeeze,
         )
 
     def est(gs):
@@ -542,14 +546,14 @@ def _clustered_bwd_impl(q, k, v, gather_ids, masks, out, lse, g, block, interpre
     )(q_p, k_loc, v_loc, masks8, g_f, lse, delta)
 
     return _bwd_scatter(
-        dq, dk_loc, dv_loc, gather_ids, bsz, n, n_pad, nb, u_pad, h, c,
-        c_true, hc, in_dtype, squeeze,
+        dq, dk_loc, dv_loc, gather_ids, bsz, n, n_kv, n_pad, nb, u_pad, h,
+        c, c_true, hc, in_dtype, squeeze,
     )
 
 
 def _bwd_scatter(
-    dq, dk_loc, dv_loc, gather_ids, bsz, n, n_pad, nb, u_pad, h, c, c_true,
-    hc, in_dtype, squeeze,
+    dq, dk_loc, dv_loc, gather_ids, bsz, n, n_kv, n_pad, nb, u_pad, h, c,
+    c_true, hc, in_dtype, squeeze,
 ):
     """Scatter block-local dk/dv back to global rows (per batch element).
 
@@ -559,7 +563,7 @@ def _bwd_scatter(
     ids = gather_ids.reshape(-1)
 
     def seg(t):
-        return jax.ops.segment_sum(t, ids, num_segments=n)
+        return jax.ops.segment_sum(t, ids, num_segments=n_kv)
 
     dk = jax.vmap(seg)(
         dk_loc.reshape(bsz, nb * u_pad, hc).astype(jnp.float32)
@@ -567,8 +571,8 @@ def _bwd_scatter(
     dv = jax.vmap(seg)(
         dv_loc.reshape(bsz, nb * u_pad, hc).astype(jnp.float32)
     )
-    dk = dk.astype(in_dtype).reshape(bsz, n, h, c)[..., :c_true]
-    dv = dv.astype(in_dtype).reshape(bsz, n, h, c)[..., :c_true]
+    dk = dk.astype(in_dtype).reshape(bsz, n_kv, h, c)[..., :c_true]
+    dv = dv.astype(in_dtype).reshape(bsz, n_kv, h, c)[..., :c_true]
     if squeeze:
         return dq[0], dk[0], dv[0]
     return dq, dk, dv

@@ -22,6 +22,9 @@ from graph_weather_tpu.parallel.ensemble import (
     sharded_fgn_ensemble,
     sharded_sampler_ensemble,
 )
+from graph_weather_tpu.parallel.gencast_spatial import (
+    make_block_sharded_denoiser_fwd,
+)
 from graph_weather_tpu.parallel.multihost import (
     distributed_init,
     place_process_batch,
@@ -30,6 +33,7 @@ from graph_weather_tpu.parallel.spatial import node_sharded_forward
 
 __all__ = [
     "distributed_init",
+    "make_block_sharded_denoiser_fwd",
     "make_halo_processor",
     "make_mesh",
     "make_sharded_ensemble_fn",
