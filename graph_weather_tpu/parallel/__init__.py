@@ -22,6 +22,7 @@ from graph_weather_tpu.parallel.ensemble import (
     sharded_fgn_ensemble,
     sharded_sampler_ensemble,
 )
+from graph_weather_tpu.parallel.forecaster import make_spatial_forward
 from graph_weather_tpu.parallel.gencast_spatial import (
     make_block_sharded_denoiser_fwd,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "make_halo_processor",
     "make_mesh",
     "make_sharded_ensemble_fn",
+    "make_spatial_forward",
     "partition_latent_graph",
     "node_sharded_forward",
     "place_process_batch",
