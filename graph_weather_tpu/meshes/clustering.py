@@ -84,6 +84,29 @@ class ClusterLayout:
         return self.gather_ids.shape[1]
 
 
+def is_symmetric_edges(senders: np.ndarray, receivers: np.ndarray) -> bool:
+    """True iff the edge set equals its transpose (i->j present iff j->i).
+
+    Symmetric graphs (e.g. the k-hop mesh graph: powers of a symmetric
+    adjacency) qualify for the scatter-free transpose backward in
+    ops/pallas/clustered_flash.py."""
+    fwd = np.unique(
+        np.stack(
+            [np.asarray(senders, np.int64), np.asarray(receivers, np.int64)],
+            axis=1,
+        ),
+        axis=0,
+    )
+    rev = np.unique(
+        np.stack(
+            [np.asarray(receivers, np.int64), np.asarray(senders, np.int64)],
+            axis=1,
+        ),
+        axis=0,
+    )
+    return fwd.shape == rev.shape and bool(np.array_equal(fwd, rev))
+
+
 def build_cluster_layout(
     senders: np.ndarray,
     receivers: np.ndarray,
@@ -100,6 +123,12 @@ def build_cluster_layout(
     """
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
+    if len(senders) and (senders.min() < 0 or senders.max() >= n_senders):
+        raise ValueError(
+            f"sender ids out of range [0, {n_senders}): "
+            f"min={senders.min()}, max={senders.max()} — a malformed edge "
+            "list would silently clamp inside jnp.take under jit"
+        )
     nb = -(-n_receivers // block)
     blk = receivers // block
     order = np.argsort(blk, kind="stable")

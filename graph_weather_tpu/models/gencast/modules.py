@@ -226,6 +226,10 @@ class GraphTransformerConv(nn.Module):
                 masks=graph.cluster_masks,
                 block=graph.cluster_block,
                 interpret=jax.default_backend() == "cpu",
+                # Scatter-free transpose backward: valid only when q and
+                # k/v index the same (symmetric-graph) node set — not in
+                # the block-sharded kv_source path.
+                symmetric=graph.cluster_symmetric and kv_source is None,
             )
             q4, k4, v4 = heads4c(q), heads4c(k), heads4c(v)
             # Batch handled NATIVELY by the kernel (B folded into the

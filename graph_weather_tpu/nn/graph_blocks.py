@@ -61,6 +61,7 @@ class DeviceGraph:
     band_w: int = flax.struct.field(pytree_node=False, default=0)
     band_flash: bool = flax.struct.field(pytree_node=False, default=False)
     cluster_block: int = flax.struct.field(pytree_node=False, default=0)
+    cluster_symmetric: bool = flax.struct.field(pytree_node=False, default=False)
 
     @classmethod
     def from_bundle(
@@ -109,8 +110,12 @@ class DeviceGraph:
                 )
             )
         cluster_ids = cluster_masks = None
+        cluster_symmetric = False
         if clustered:
-            from graph_weather_tpu.meshes.clustering import build_cluster_layout
+            from graph_weather_tpu.meshes.clustering import (
+                build_cluster_layout,
+                is_symmetric_edges,
+            )
 
             layout = build_cluster_layout(
                 bundle.senders, bundle.receivers,
@@ -121,6 +126,11 @@ class DeviceGraph:
             # casting the [nb, block, U_pad] mask (64 MB at splits 6) per
             # attention call costs ~0.16 ms x num_blocks per forward.
             cluster_masks = jnp.asarray(layout.masks.astype(np.int8))
+            # Symmetric edge lists (k-hop mesh graphs) qualify for the
+            # scatter-free transpose backward (clustered_flash.py).
+            cluster_symmetric = bundle.n_senders == bundle.n_receivers and (
+                is_symmetric_edges(bundle.senders, bundle.receivers)
+            )
         senders, receivers, edge_attr = bundle.device_arrays()
         return cls(
             senders=senders,
@@ -137,6 +147,7 @@ class DeviceGraph:
             band_w=band_w,
             band_flash=banded and band_flash,
             cluster_block=cluster_block if clustered else 0,
+            cluster_symmetric=cluster_symmetric,
         )
 
     def aggregate(self, edge_feats: jnp.ndarray) -> jnp.ndarray:

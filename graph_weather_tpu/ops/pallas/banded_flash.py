@@ -59,7 +59,11 @@ def _pick_group(h: int, est_bytes) -> int:
     for g in range(h, 0, -1):
         if h % g == 0 and est_bytes(g) <= _VMEM_BUDGET:
             return g
-    return 1
+    raise ValueError(
+        "flash-attention working set exceeds the VMEM budget even at head "
+        f"group size 1 (est {est_bytes(1)} > {_VMEM_BUDGET} bytes); reduce "
+        "block/window/head dim or use attention_impl='banded'/'segment'"
+    )
 
 
 def _mask_bias(mask_ref):

@@ -11,10 +11,22 @@ window shrinks from 5,632 banded keys to <=1,536 gathered keys (4.4x
 less VPU/MXU work; the banded kernel is VPU-bound on masked-out softmax
 lanes — NOTES.md).
 
-Backward: ONE kernel produces dq (accumulated over key tiles) and the
-block-local dk/dv tiles (each key tile is consumed only by its own block,
-so no cross-block accumulation); block-local dk/dv are scatter-added back
-to global rows with an XLA segment_sum over the gather ids.
+Backward, general graphs: ONE kernel produces dq (accumulated over key
+tiles) and the block-local dk/dv tiles (each key tile is consumed only by
+its own block, so no cross-block accumulation); block-local dk/dv are
+scatter-added back to global rows with an XLA segment_sum over the gather
+ids.
+
+Backward, SYMMETRIC graphs (`symmetric=True`, e.g. the k-hop mesh graph):
+the scatter is eliminated entirely. For a symmetric edge list the set of
+receivers attending block b's keys IS block b's neighbor union, and the
+existing [block, U_pad] mask read as [keys, receivers] is exactly the
+transposed adjacency — so a second "dkv" kernel iterates KEY blocks,
+gathers the union's q/do/lse/delta rows (the same cheap gather shape as
+the forward's k/v gather), and writes dk/dv DIRECTLY at their global
+block positions. Measured on v5e at GenCast splits-6 scale the dk/dv
+segment_sum was ~6.6 ms/layer — the largest single term of the training
+backward (NOTES.md).
 
 Numerics match segment softmax exactly (same per-receiver support; empty
 receivers produce exact zeros). Works for ARBITRARY static graphs —
@@ -223,7 +235,79 @@ def _bwd_kernel_onepass(
     ).astype(dq_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _dq_kernel_onepass(
+    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, *, scale,
+):
+    """dq-only single-pass backward (symmetric path: dk/dv come from the
+    separate transpose kernel, so the 2 extra contractions and their
+    [U_pad, hc] output streams are dropped)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, :, :1]
+    delta = delta_ref[0, :, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = jnp.where(mask_ref[0] != 0, s, _NEG)
+    p = jnp.exp(s - lse)  # [block, U_pad]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta)).astype(k.dtype)
+    dq_ref[0] = (
+        jax.lax.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    ).astype(dq_ref.dtype)
+
+
+def _dkv_kernel_onepass(
+    k_ref, v_ref, qg_ref, dog_ref, mask_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, *, scale,
+):
+    """Transpose single-pass backward over KEY blocks (symmetric graphs).
+
+    Rows = the block's own key rows, columns = the gathered receiver
+    union; by edge-list symmetry the forward's [block, U_pad] mask is
+    exactly this kernel's adjacency, so
+        s[i, j]  = k_i . q_j * scale          (the forward logits, transposed)
+        p        = exp(s + bias - lse[j])     (P^T)
+        dv_block = p  @ dO_union              (P^T dO)
+        ds       = p * (dO_union V^T)^T-ish   (dp[i,j] = v_i . do_j)
+        dk_block = ds @ q_union * scale
+    and dk/dv land DIRECTLY at their global block rows — no scatter."""
+    g = pl.program_id(1)
+    k = k_ref[0]  # [block, C] this block's keys
+    v = v_ref[0]
+    qg = qg_ref[0]  # [U_pad, C] gathered receiver queries
+    dog = dog_ref[0]
+    # [1, h, U_pad] blocks (Mosaic needs the trailing two block dims to
+    # match the array); slice this head's row dynamically.
+    lse = lse_ref[0, pl.dslice(g, 1), :]  # [1, U_pad]
+    delta = delta_ref[0, pl.dslice(g, 1), :]
+
+    s = jax.lax.dot_general(
+        k, qg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [block(keys), U_pad(receivers)]
+    s = jnp.where(mask_ref[0] != 0, s, _NEG)
+    p = jnp.exp(s - lse)
+    dv_ref[0] = jax.lax.dot(
+        p.astype(dog.dtype), dog, preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        v, dog, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta)).astype(qg.dtype)
+    dk_ref[0] = (
+        jax.lax.dot(ds, qg, preferred_element_type=jnp.float32) * scale
+    ).astype(dk_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "interpret", "symmetric")
+)
 def clustered_flash_attention(
     q: jnp.ndarray,  # [N, H, C] or [B, N, H, C] (batch-native)
     k: jnp.ndarray,
@@ -232,37 +316,42 @@ def clustered_flash_attention(
     masks: jnp.ndarray,  # [nb, block, U_pad] bool/int8
     block: int,
     interpret: bool = False,
+    symmetric: bool = False,
 ) -> jnp.ndarray:
     """Graph attention over per-block gathered neighbor unions.
 
     Returns the input shape; receivers with no neighbors get exact zeros.
-    Differentiable (hand-written flash backward + XLA scatter-add).
+    Differentiable (hand-written flash backward + XLA scatter-add, or the
+    scatter-free transpose-kernel backward when `symmetric=True` — the
+    caller asserts the edge list is symmetric AND q/k/v index the same
+    node set, e.g. the k-hop mesh graph; meshes/clustering.py checks this
+    at build time).
     Batched inputs fold B into the kernel's block-grid axis with the
     shared masks indexed modulo nb — do NOT vmap this function (the
     pallas batching rule broadcasts the shared mask/ids operands).
     """
-    return _clustered(q, k, v, gather_ids, masks, block, interpret)
+    return _clustered(q, k, v, gather_ids, masks, block, interpret, symmetric)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _clustered(q, k, v, gather_ids, masks, block, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _clustered(q, k, v, gather_ids, masks, block, interpret, symmetric):
     out, _ = _clustered_impl(q, k, v, gather_ids, masks, block, interpret, False)
     return out
 
 
-def _clustered_fwd(q, k, v, gather_ids, masks, block, interpret):
+def _clustered_fwd(q, k, v, gather_ids, masks, block, interpret, symmetric):
     out, lse = _clustered_impl(
         q, k, v, gather_ids, masks, block, interpret, True
     )
     return out, (q, k, v, gather_ids, masks, out, lse)
 
 
-def _clustered_bwd(block, interpret, res, g):
+def _clustered_bwd(block, interpret, symmetric, res, g):
     import numpy as np
 
     q, k, v, gather_ids, masks, out, lse = res
     dq, dk, dv = _clustered_bwd_impl(
-        q, k, v, gather_ids, masks, out, lse, g, block, interpret
+        q, k, v, gather_ids, masks, out, lse, g, block, interpret, symmetric
     )
     zero_i = np.zeros(gather_ids.shape, jax.dtypes.float0)
     zero_m = np.zeros(masks.shape, jax.dtypes.float0)
@@ -311,7 +400,10 @@ def _layout(q, k, v, block, nb):
 def _clustered_impl(q, k, v, gather_ids, masks, block, interpret, with_lse):
     nb, u_pad = gather_ids.shape
     if u_pad % _KT or block % 8:
-        raise ValueError(f"U_pad={u_pad} must be a multiple of {_KT}")
+        raise ValueError(
+            f"U_pad={u_pad} must be a multiple of {_KT} and "
+            f"block={block} a multiple of 8"
+        )
     squeeze = q.ndim == 3
     if squeeze:
         q, k, v = q[None], k[None], v[None]
@@ -427,7 +519,10 @@ def _clustered_impl(q, k, v, gather_ids, masks, block, interpret, with_lse):
     return (out[0] if squeeze else out), lse
 
 
-def _clustered_bwd_impl(q, k, v, gather_ids, masks, out, lse, g, block, interpret):
+def _clustered_bwd_impl(
+    q, k, v, gather_ids, masks, out, lse, g, block, interpret,
+    symmetric=False,
+):
     nb, u_pad = gather_ids.shape
     squeeze = q.ndim == 3
     if squeeze:
@@ -446,15 +541,25 @@ def _clustered_bwd_impl(q, k, v, gather_ids, masks, out, lse, g, block, interpre
         bnb, block, hc
     )
 
-    delta = jnp.sum(
+    delta_n = jnp.sum(
         g.astype(jnp.float32)[..., :c_true] * out.astype(jnp.float32), axis=-1
-    )
-    delta = jnp.pad(delta, ((0, 0), (0, n_pad - n), (0, 0))).reshape(
-        bnb, block, h, 1
-    )
-    delta = jnp.broadcast_to(delta, (bnb, block, h, 128)).reshape(
-        bnb, block, h * 128
-    )
+    )  # [bsz, n, h]
+    delta_n = jnp.pad(delta_n, ((0, 0), (0, n_pad - n), (0, 0)))
+    delta = jnp.broadcast_to(
+        delta_n.reshape(bnb, block, h, 1), (bnb, block, h, 128)
+    ).reshape(bnb, block, h * 128)
+
+    if symmetric and n != n_kv:
+        raise ValueError(
+            "symmetric=True requires q and k/v to index the same node set "
+            f"(got {n} queries vs {n_kv} keys)"
+        )
+    if symmetric and _symmetric_fits(block, u_pad, c, dt):
+        return _bwd_symmetric(
+            q_p, k_f, v_f, gather_ids, masks, g_f, lse, delta, delta_n,
+            bsz, n, nb, n_pad, u_pad, h, c, c_true, hc, block, scale,
+            in_dtype, interpret, squeeze,
+        )
 
     k_loc = _gather_kv(k_f, gather_ids)
     v_loc = _gather_kv(v_f, gather_ids)
@@ -573,6 +678,108 @@ def _bwd_scatter(
     )
     dk = dk.astype(in_dtype).reshape(bsz, n_kv, h, c)[..., :c_true]
     dv = dv.astype(in_dtype).reshape(bsz, n_kv, h, c)[..., :c_true]
+    if squeeze:
+        return dq[0], dk[0], dv[0]
+    return dq, dk, dv
+
+
+def _symmetric_fits(block: int, u_pad: int, c: int, dt: int) -> bool:
+    """Both symmetric-path kernels must fit the VMEM budget (per head)."""
+    dq_bytes = (
+        3 * block * c * dt * 2  # q, do, dq (double-buffered streams)
+        + 2 * u_pad * c * dt * 2  # k_loc, v_loc
+        + block * u_pad * 2  # int8 mask
+        + 2 * block * 128 * 4 * 2  # lse, delta
+        + 3 * block * u_pad * 4  # s/p/dp temps
+    )
+    dkv_bytes = (
+        4 * block * c * dt * 2  # k, v, dk, dv
+        + 2 * u_pad * c * dt * 2  # q_loc, do_loc
+        + block * u_pad * 2  # mask
+        + 2 * u_pad * 4 * 2  # lse, delta union rows
+        + 3 * block * u_pad * 4  # s/p/dp temps
+    )
+    return dq_bytes <= _VMEM_BUDGET and dkv_bytes <= _VMEM_BUDGET
+
+
+def _bwd_symmetric(
+    q_p, k_f, v_f, gather_ids, masks, g_f, lse, delta, delta_n,
+    bsz, n, nb, n_pad, u_pad, h, c, c_true, hc, block, scale,
+    in_dtype, interpret, squeeze,
+):
+    """Scatter-free backward for symmetric graphs: a dq-only kernel over
+    receiver blocks plus a transpose dk/dv kernel over key blocks whose
+    outputs land directly at global block rows (see module docstring)."""
+    bnb = bsz * nb
+    masks8 = masks.astype(jnp.int8)
+    k_loc = _gather_kv(k_f, gather_ids)
+    v_loc = _gather_kv(v_f, gather_ids)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel_onepass, scale=scale),
+        grid=(bnb, h),
+        in_specs=[
+            pl.BlockSpec((1, block, c), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, u_pad, c), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, u_pad, c), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, block, u_pad), lambda b, g: (b % nb, 0, 0)),
+            pl.BlockSpec((1, block, c), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, block, 128), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, block, 128), lambda b, g: (b, 0, g)),
+        ],
+        out_specs=pl.BlockSpec((1, block, c), lambda b, g: (b, 0, g)),
+        out_shape=jax.ShapeDtypeStruct((bnb, block, hc), in_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(q_p, k_loc, v_loc, masks8, g_f, lse, delta)
+
+    # Transpose-kernel operands: the block's own key rows plus the
+    # gathered q/do/lse/delta rows of its receiver union.
+    row_pad = ((0, 0), (0, n_pad - n), (0, 0))
+    k_p = jnp.pad(k_f, row_pad).reshape(bnb, block, hc)
+    v_p = jnp.pad(v_f, row_pad).reshape(bnb, block, hc)
+    q_loc = _gather_kv(q_p.reshape(bsz, n_pad, hc), gather_ids)
+    do_loc = _gather_kv(g_f.reshape(bsz, n_pad, hc), gather_ids)
+    lse_n = lse.reshape(bsz, n_pad, h, 128)[..., 0]  # [bsz, n_pad, h]
+    lse_h = jnp.transpose(
+        jnp.take(lse_n, gather_ids, axis=1), (0, 1, 3, 2)
+    ).reshape(bnb, h, u_pad)
+    delta_h = jnp.transpose(
+        jnp.take(delta_n, gather_ids, axis=1), (0, 1, 3, 2)
+    ).reshape(bnb, h, u_pad)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel_onepass, scale=scale),
+        grid=(bnb, h),
+        in_specs=[
+            pl.BlockSpec((1, block, c), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, block, c), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, u_pad, c), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, u_pad, c), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, block, u_pad), lambda b, g: (b % nb, 0, 0)),
+            pl.BlockSpec((1, h, u_pad), lambda b, g: (b, 0, 0)),
+            pl.BlockSpec((1, h, u_pad), lambda b, g: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block, c), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, block, c), lambda b, g: (b, 0, g)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bnb, block, hc), in_dtype),
+            jax.ShapeDtypeStruct((bnb, block, hc), in_dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(k_p, v_p, q_loc, do_loc, masks8, lse_h, delta_h)
+
+    def unblock(t):
+        return t.reshape(bsz, n_pad, h, c)[:, :n, :, :c_true]
+
+    dq, dk, dv = unblock(dq), unblock(dk), unblock(dv)
     if squeeze:
         return dq[0], dk[0], dv[0]
     return dq, dk, dv

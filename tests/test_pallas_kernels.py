@@ -5,6 +5,8 @@ together, mirroring the framework's kernel-testing strategy (SURVEY §4
 implication: equivalence between Pallas kernels and pure-XLA references).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -290,6 +292,101 @@ class TestClusteredFlash:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=3e-4, err_msg=f"d{name}"
             )
+
+    def test_symmetric_backward_matches_scatter_path(self):
+        """symmetric=True (scatter-free transpose dk/dv kernel) must match
+        the general scatter backward and the dense reference, batched and
+        unbatched, including empty receiver rows."""
+        from graph_weather_tpu.meshes.clustering import (
+            build_cluster_layout,
+            is_symmetric_edges,
+        )
+        from graph_weather_tpu.ops.pallas.clustered_flash import (
+            clustered_flash_attention,
+        )
+
+        rng = np.random.default_rng(11)
+        n, h, c, block, B = 1200, 2, 32, 512, 2
+        s_ids, r_ids = self._random_graph(rng, n, deg=6)
+        # Symmetrize (the k-hop mesh graph case) and knock out some rows
+        # entirely (node 7 keeps no edges in either direction).
+        keep = (s_ids != 7) & (r_ids != 7)
+        s_sym = np.concatenate([s_ids[keep], r_ids[keep]])
+        r_sym = np.concatenate([r_ids[keep], s_ids[keep]])
+        pairs = np.unique(np.stack([s_sym, r_sym], 1), axis=0)
+        s_sym, r_sym = pairs[:, 0], pairs[:, 1]
+        assert is_symmetric_edges(s_sym, r_sym)
+        assert not is_symmetric_edges(
+            np.array([0, 1]), np.array([1, 2])
+        )
+        layout = build_cluster_layout(s_sym, r_sym, n, n, block=block)
+        ids = jnp.asarray(layout.gather_ids)
+        masks = jnp.asarray(layout.masks)
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((B, n, h, c)), jnp.float32)
+            for _ in range(3)
+        )
+        cot = jnp.asarray(rng.standard_normal((B, n, h, c)), jnp.float32)
+
+        def loss(q, k, v, symmetric, batched=True):
+            args = (q, k, v) if batched else (q[0], k[0], v[0])
+            out = clustered_flash_attention(
+                *args, ids, masks, block, interpret=True, symmetric=symmetric
+            )
+            return jnp.sum(out * (cot if batched else cot[0]))
+
+        g_sym = jax.grad(functools.partial(loss, symmetric=True), (0, 1, 2))(
+            q, k, v
+        )
+        g_gen = jax.grad(functools.partial(loss, symmetric=False), (0, 1, 2))(
+            q, k, v
+        )
+        for name, a, b in zip("q k v".split(), g_sym, g_gen):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-5, err_msg=f"d{name}"
+            )
+        # Dense reference on sample 0 via the unbatched path.
+        def loss_ref(q0, k0, v0):
+            return jnp.sum(self._dense_ref(q0, k0, v0, s_sym, r_sym, n) * cot[0])
+
+        g_s0 = jax.grad(
+            functools.partial(loss, symmetric=True, batched=False), (0, 1, 2)
+        )(q, k, v)
+        g_rf = jax.grad(loss_ref, (0, 1, 2))(q[0], k[0], v[0])
+        for name, a, b in zip("q k v".split(), g_s0, g_rf):
+            np.testing.assert_allclose(
+                np.asarray(a[0]), np.asarray(b), atol=3e-4, err_msg=f"d{name}"
+            )
+            # edgeless node 7: exact-zero gradients everywhere
+            assert np.all(np.asarray(a[0])[7] == 0.0)
+
+    def test_symmetric_rejects_mismatched_node_sets(self):
+        """symmetric=True with different q vs k/v node counts must raise
+        (the transpose identity needs one shared node set)."""
+        from graph_weather_tpu.meshes.clustering import build_cluster_layout
+        from graph_weather_tpu.ops.pallas.clustered_flash import (
+            clustered_flash_attention,
+        )
+
+        rng = np.random.default_rng(1)
+        s_ids = np.array([0, 1, 2, 3], np.int32)
+        r_ids = np.array([0, 1, 2, 3], np.int32)
+        layout = build_cluster_layout(s_ids, r_ids, 8, 16, block=8)
+        q = jnp.asarray(rng.standard_normal((8, 1, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((16, 1, 16)), jnp.float32)
+
+        def loss(q, k, v):
+            return jnp.sum(
+                clustered_flash_attention(
+                    q, k, v,
+                    jnp.asarray(layout.gather_ids),
+                    jnp.asarray(layout.masks),
+                    8, interpret=True, symmetric=True,
+                )
+            )
+
+        with pytest.raises(ValueError, match="same node set"):
+            jax.grad(loss)(q, k, k)
 
     def test_batched_matches_per_sample(self):
         """[B, N, h, c] inputs (B folded into the kernel grid) must equal
