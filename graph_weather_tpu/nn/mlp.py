@@ -56,9 +56,13 @@ class TorchLinear(nn.Module):
 def make_norm(norm_type: Optional[str], dim: int):
     """Normalization layer factory.
 
-    'LayerNorm' and None are the configurations the reference actually
-    exercises (its getattr(torch.nn, norm_type) path only resolves for
-    LayerNorm); 'RMSNorm' and 'GraphNorm' are supported extras.
+    Accepts every name the reference's `getattr(torch.nn, norm_type)` path
+    resolves (reference models/layers/graph_net_block.py:50-59): LayerNorm,
+    BatchNorm1d and InstanceNorm1d (plus their un-suffixed aliases), and
+    GraphNorm; 'RMSNorm' is a supported extra. The batch/instance variants
+    are the stateless training-mode formulations (batch statistics, no
+    running averages — the reference never runs them in eval mode either,
+    its training scripts only exercise LayerNorm).
     """
     if norm_type is None or norm_type == "none":
         return None
@@ -71,7 +75,41 @@ def make_norm(norm_type: Optional[str], dim: int):
         # Per-feature standardization over the node axis with learnable
         # scale/shift — the PyG GraphNorm formulation for a single graph.
         return _GraphNorm()
+    if norm_type in ("BatchNorm1d", "BatchNorm"):
+        # torch BatchNorm1d on [N, F] node features in training mode:
+        # per-feature stats over ALL leading axes (torch eps 1e-5).
+        return _StatsNorm(axes="all")
+    if norm_type in ("InstanceNorm1d", "InstanceNorm"):
+        # torch InstanceNorm1d semantics mapped to node features: stats
+        # over the node axis per sample, no affine by default.
+        return _StatsNorm(axes="nodes", affine=False)
     raise ValueError(f"Unsupported norm_type: {norm_type}")
+
+
+class _StatsNorm(nn.Module):
+    """Stateless batch/instance normalization over node features.
+
+    axes='all' -> statistics over every axis but the last (BatchNorm1d in
+    training mode); axes='nodes' -> statistics over the node axis only
+    (InstanceNorm1d). eps matches torch (1e-5).
+    """
+
+    axes: str = "all"
+    affine: bool = True
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        red = tuple(range(x.ndim - 1)) if self.axes == "all" else (-2,)
+        mean = jnp.mean(x, axis=red, keepdims=True)
+        var = jnp.var(x, axis=red, keepdims=True)
+        y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        if self.affine:
+            dim = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+            y = y * scale + bias
+        return y
 
 
 class _GraphNorm(nn.Module):

@@ -148,3 +148,42 @@ class TestThermalizer:
         params = layer.init(rngs, x, 1)
         out = layer.apply(params, x, 1, rngs={"noise": jax.random.PRNGKey(2)})
         assert out.shape == x.shape
+
+
+class TestMLPNorms:
+    """All torch-resolvable norm names accepted by the reference MLP
+    (reference models/layers/graph_net_block.py:50-59) must build and
+    normalize; unknown names raise."""
+
+    @pytest.mark.parametrize(
+        "norm", ["LayerNorm", "RMSNorm", "GraphNorm", "BatchNorm1d",
+                 "BatchNorm", "InstanceNorm1d", "InstanceNorm", None]
+    )
+    def test_all_names_build_and_run(self, norm):
+        from graph_weather_tpu.nn.mlp import MLP
+
+        mlp = MLP(out_dim=8, hidden_dim=16, hidden_layers=2, norm_type=norm)
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 10, 8))
+        params = jax.jit(mlp.init)(jax.random.PRNGKey(1), x)
+        y = jax.jit(mlp.apply)(params, x)
+        assert y.shape == x.shape
+        assert bool(jnp.all(jnp.isfinite(y)))
+        if norm in ("BatchNorm1d", "BatchNorm"):
+            # per-feature standardization over all leading axes
+            np.testing.assert_allclose(
+                np.asarray(jnp.mean(y, axis=(0, 1))), 0.0, atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(jnp.std(y, axis=(0, 1))), 1.0, atol=1e-2
+            )
+        if norm in ("InstanceNorm1d", "InstanceNorm"):
+            # stats over the node axis per sample, no affine
+            np.testing.assert_allclose(
+                np.asarray(jnp.mean(y, axis=1)), 0.0, atol=1e-5
+            )
+
+    def test_unknown_norm_raises(self):
+        from graph_weather_tpu.nn.mlp import make_norm
+
+        with pytest.raises(ValueError, match="Unsupported norm_type"):
+            make_norm("FancyNorm", 8)
