@@ -260,7 +260,57 @@ class WeatherStationReader:
             logger.error("Failed to read %s: %s", filepath, e)
             return None
 
+    def integrate_with_weatherreal(
+        self, observations: Optional[pd.DataFrame], output_path: str
+    ) -> Optional[str]:
+        """Save observations in WeatherReal-Benchmark-compatible layout
+        (reference data/weather_station_reader.py:711-746): standardize
+        columns, ensure the output directory, write, return the path (or
+        None on failure/empty input)."""
+        if observations is None or len(observations) == 0:
+            logger.warning("No observations to save")
+            return None
+        try:
+            df = self.convert_to_weatherreal(observations)
+            os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+            df.to_parquet(output_path)
+            logger.info("Saved WeatherReal-compatible data to %s", output_path)
+            return output_path
+        except Exception as e:  # noqa: BLE001
+            logger.error("Error saving WeatherReal data: %s", e)
+            return None
+
     # -- SynopticPy (optional network source) -----------------------------------
+    def initialize_synopticpy(
+        self, token: Optional[str] = None, token_path: Optional[str] = None
+    ) -> bool:
+        """Store/validate a SynopticPy API token for later fetches
+        (reference data/weather_station_reader.py:476-511). Returns False
+        (with a warning) when the package is missing or no token resolves,
+        True on success."""
+        try:
+            try:
+                import synoptic  # noqa: F401
+            except ImportError:
+                logger.warning(
+                    "SynopticPy package is not installed - synoptic "
+                    "functionality unavailable"
+                )
+                return False
+            if token_path and not token:
+                with open(token_path) as f:
+                    token = f.read().strip()
+            if not token:
+                logger.warning("No token provided for SynopticPy initialization")
+                return False
+            self._synoptic_token = token
+            os.environ.setdefault("SYNOPTIC_TOKEN", token)
+            logger.info("SynopticPy client initialized successfully")
+            return True
+        except Exception as e:  # noqa: BLE001
+            logger.error("Error initializing SynopticPy: %s", e)
+            return False
+
     def fetch_from_synopticpy(self, **kwargs) -> Optional[pd.DataFrame]:
         """Fetch live observations via SynopticPy when installed."""
         try:
@@ -270,5 +320,8 @@ class WeatherStationReader:
             return None
         from synoptic import TimeSeries
 
+        token = getattr(self, "_synoptic_token", None)
+        if token is not None:
+            kwargs.setdefault("token", token)
         df = TimeSeries(**kwargs).df()
         return self._standardize_columns(df)

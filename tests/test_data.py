@@ -204,3 +204,45 @@ class TestWeatherStationReader:
         assert len(outs) == 1
         back = reader.read_weatherreal_file(outs[0])
         assert back is not None and "station_id" in back.columns
+
+    def test_integrate_with_weatherreal(self, tmp_path):
+        """Mirrors reference data/weather_station_reader.py:711-746:
+        saves a WeatherReal-compatible file, returns the path; None on
+        empty input."""
+        reader = WeatherStationReader(str(tmp_path))
+        df = pd.DataFrame({
+            "id": ["X", "Y"], "lat": [1.0, 2.0], "lon": [3.0, 4.0],
+            "time": pd.to_datetime(["2020-01-01", "2020-01-02"]),
+            "temperature": [10.0, 11.0],
+        })
+        out = reader.integrate_with_weatherreal(
+            df, str(tmp_path / "wr" / "obs.parquet")
+        )
+        assert out is not None
+        back = reader.read_weatherreal_file(out)
+        assert list(back.columns[:4]) == [
+            "station_id", "time", "latitude", "longitude"
+        ]
+        assert reader.integrate_with_weatherreal(None, str(tmp_path / "x")) is None
+        assert reader.integrate_with_weatherreal(
+            df.iloc[:0], str(tmp_path / "y")
+        ) is None
+
+    def test_initialize_synopticpy(self, tmp_path):
+        """Returns False without the optional synoptic package (reference
+        :476-511 semantics); token-file reading is exercised via the
+        token_path argument when the package IS available."""
+        reader = WeatherStationReader(str(tmp_path))
+        token_file = tmp_path / "token.txt"
+        token_file.write_text("abc123\n")
+        try:
+            import synoptic  # noqa: F401
+            has_synoptic = True
+        except ImportError:
+            has_synoptic = False
+        got = reader.initialize_synopticpy(token_path=str(token_file))
+        assert got is has_synoptic
+        if has_synoptic:
+            assert reader._synoptic_token == "abc123"
+        # no token at all -> always False
+        assert reader.initialize_synopticpy() is False
