@@ -141,6 +141,28 @@ class GraphWeatherForecasterConfig:
         )
 
 
+def reversal_conjugated_latent(bundle):
+    """Map both endpoints of a latent graph through rho(i) = N-1-i.
+
+    The reference's encoder/decoder index H3 rows in REVERSED sorted-cell
+    order while its latent processor graph is built ascending (reference
+    models/layers/encoder.py:80-85 vs :244-268); in cell space its
+    processor therefore runs on rho(E). Loading converted reference weights
+    reproduces the reference net function only on this conjugated graph —
+    used by `latent_graph_order="reference"` and `from_pretrained`. The
+    framework's own models keep the consistent (unconjugated) ordering."""
+    from graph_weather_tpu.meshes.graphs import GraphBundle
+
+    n = bundle.n_senders
+    return GraphBundle(
+        senders=(n - 1 - bundle.senders).astype(np.int32),
+        receivers=(n - 1 - bundle.receivers).astype(np.int32),
+        edge_attr=bundle.edge_attr,
+        n_senders=n,
+        n_receivers=n,
+    ).sorted_by_receiver()
+
+
 class GraphWeatherForecaster:
     """Forecast model handle: owns the static graphs and the flax module."""
 
@@ -162,12 +184,35 @@ class GraphWeatherForecaster:
         hidden_layers_decoder: int = 2,
         norm_type: str = "LayerNorm",
         use_checkpointing: bool = False,
+        latent_graph_order: str = "native",
     ):
         validate_lat_lons(lat_lons)
+        if latent_graph_order not in ("native", "reference"):
+            raise ValueError(
+                f"latent_graph_order must be 'native' or 'reference', got "
+                f"{latent_graph_order!r}"
+            )
         self.lat_lons = list(lat_lons)
         self.feature_dim = feature_dim
         self.aux_dim = aux_dim
         self.output_dim = feature_dim if output_dim is None else output_dim
+        self._config = dict(
+            resolution=resolution,
+            feature_dim=feature_dim,
+            aux_dim=aux_dim,
+            output_dim=self.output_dim,
+            node_dim=node_dim,
+            edge_dim=edge_dim,
+            num_blocks=num_blocks,
+            hidden_dim_processor_node=hidden_dim_processor_node,
+            hidden_dim_processor_edge=hidden_dim_processor_edge,
+            hidden_layers_processor_node=hidden_layers_processor_node,
+            hidden_layers_processor_edge=hidden_layers_processor_edge,
+            hidden_dim_decoder=hidden_dim_decoder,
+            hidden_layers_decoder=hidden_layers_decoder,
+            norm_type=norm_type,
+            latent_graph_order=latent_graph_order,
+        )
 
         mesh = get_hexmesh(resolution)
         self.mesh = mesh
@@ -176,6 +221,10 @@ class GraphWeatherForecaster:
         # re-partitions the raw edge arrays per device (parallel/forecaster).
         self.g2m_bundle = build_grid_to_mesh_graph(ll, mesh)
         self.latent_bundle = build_latent_graph(mesh)
+        if latent_graph_order == "reference":
+            # Converted reference checkpoints compute the reference net
+            # function only on the reversal-conjugated latent graph.
+            self.latent_bundle = reversal_conjugated_latent(self.latent_bundle)
         self.m2g_bundle = build_mesh_to_grid_graph(ll, mesh)
         self.g2m = DeviceGraph.from_bundle(self.g2m_bundle)
         self.latent = DeviceGraph.from_bundle(self.latent_bundle)
@@ -354,3 +403,127 @@ class GraphWeatherForecaster:
 
     def __call__(self, params, features: jnp.ndarray) -> jnp.ndarray:
         return self.apply(params, features)
+
+    # -- HuggingFace-Hub-format save/load ---------------------------------
+    # Equivalent of the reference's PyTorchModelHubMixin surface (reference
+    # models/forecast.py:61, pushed mid-training by train/run.py:531-543):
+    # a directory of config.json + model.safetensors, loadable by repo id
+    # or local path. Two on-disk layouts are accepted:
+    #   * native ("graph_weather_tpu.flax" marker): flax params flattened
+    #     with '/'-joined keys — written by save_pretrained;
+    #   * reference (PyTorchModelHubMixin): a torch state_dict, converted
+    #     via convert.convert_forecaster and loaded with the
+    #     reversal-conjugated latent graph so the net function matches.
+
+    def save_pretrained(self, path: str, params) -> None:
+        """Write config.json + model.safetensors (hub directory layout)."""
+        import json
+        import os
+
+        from flax.traverse_util import flatten_dict
+        from safetensors.numpy import save_file
+
+        os.makedirs(path, exist_ok=True)
+        cfg = dict(self._config)
+        cfg["lat_lons"] = [[float(a), float(b)] for a, b in self.lat_lons]
+        cfg["model_format"] = "graph_weather_tpu.flax"
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(cfg, f)
+        flat = {
+            "/".join(k): np.asarray(v)
+            for k, v in flatten_dict(jax.device_get(params)).items()
+        }
+        save_file(flat, os.path.join(path, "model.safetensors"))
+
+    @classmethod
+    def from_pretrained(cls, repo_id_or_path: str, **overrides):
+        """Load a hub-format GraphWeatherForecaster -> (model, params).
+
+        Accepts a local directory or a HuggingFace Hub repo id. Native
+        checkpoints round-trip exactly; reference (PyTorchModelHubMixin)
+        checkpoints are converted with convert.convert_forecaster and
+        built with latent_graph_order="reference" so the loaded weights
+        compute the same function they were trained as."""
+        import json
+        import os
+
+        if os.path.isdir(repo_id_or_path):
+            cfg_path = os.path.join(repo_id_or_path, "config.json")
+            weights = None
+            for name in ("model.safetensors", "pytorch_model.bin"):
+                p = os.path.join(repo_id_or_path, name)
+                if os.path.exists(p):
+                    weights = p
+                    break
+        else:
+            from huggingface_hub import hf_hub_download
+
+            cfg_path = hf_hub_download(repo_id_or_path, "config.json")
+            try:
+                weights = hf_hub_download(repo_id_or_path, "model.safetensors")
+            except Exception:
+                weights = hf_hub_download(repo_id_or_path, "pytorch_model.bin")
+        if weights is None:
+            raise FileNotFoundError(
+                f"no model.safetensors / pytorch_model.bin in {repo_id_or_path}"
+            )
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        if weights.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            sd = load_file(weights)
+        else:
+            import torch
+
+            raw = torch.load(weights, map_location="cpu", weights_only=True)
+            sd = {k: v.numpy() for k, v in raw.items()}
+
+        native = cfg.pop("model_format", None) == "graph_weather_tpu.flax"
+        kwargs = dict(
+            lat_lons=[tuple(p) for p in cfg["lat_lons"]],
+            resolution=cfg.get("resolution", 2),
+            feature_dim=cfg.get("feature_dim", 78),
+            aux_dim=cfg.get("aux_dim", 24),
+            output_dim=cfg.get("output_dim"),
+            node_dim=cfg.get("node_dim", 256),
+            edge_dim=cfg.get("edge_dim", 256),
+            num_blocks=cfg.get("num_blocks", 9),
+            hidden_dim_processor_node=cfg.get("hidden_dim_processor_node", 256),
+            hidden_dim_processor_edge=cfg.get("hidden_dim_processor_edge", 256),
+            hidden_layers_processor_node=cfg.get(
+                "hidden_layers_processor_node", 2
+            ),
+            hidden_layers_processor_edge=cfg.get(
+                "hidden_layers_processor_edge", 2
+            ),
+            hidden_dim_decoder=cfg.get("hidden_dim_decoder", 128),
+            hidden_layers_decoder=cfg.get("hidden_layers_decoder", 2),
+            norm_type=cfg.get("norm_type", "LayerNorm"),
+            latent_graph_order=cfg.get(
+                "latent_graph_order", "native" if native else "reference"
+            ),
+        )
+        kwargs.update(overrides)
+        model = cls(**kwargs)
+
+        if native:
+            from flax.traverse_util import unflatten_dict
+
+            params = jax.tree_util.tree_map(
+                jnp.asarray,
+                unflatten_dict({tuple(k.split("/")): v for k, v in sd.items()}),
+            )
+        else:
+            from graph_weather_tpu.convert import convert_forecaster
+
+            params = jax.tree_util.tree_map(
+                jnp.asarray,
+                convert_forecaster(
+                    sd,
+                    num_blocks=kwargs["num_blocks"],
+                    hidden_layers_processor=kwargs["hidden_layers_processor_node"],
+                    hidden_layers_decoder=kwargs["hidden_layers_decoder"],
+                ),
+            )
+        return model, params
