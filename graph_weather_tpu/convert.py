@@ -9,6 +9,19 @@ Mappings implemented:
     graph_weather_tpu.GraphWeatherForecaster param tree.
   * GenCast Denoiser        (reference models/gencast/denoiser.py:66) ->
     graph_weather_tpu.models.gencast.Denoiser param tree.
+  * GenDA                   (reference models/genda/model.py:66; identical
+    module tree to the Denoiser) -> graph_weather_tpu.models.genda.GenDA.
+  * FGN                     (reference models/fgn/model.py:60 +
+    models/fgn/layers/processor.py:20) ->
+    graph_weather_tpu.models.fgn.FunctionalGenerativeNetwork.
+  * CaFAForecaster          (reference models/cafa/model.py:10) ->
+    graph_weather_tpu.models.cafa.CaFAForecaster.
+  * AuroraModel             (reference models/aurora/model.py:187) ->
+    graph_weather_tpu.models.aurora.AuroraModel.
+  * GraphWeatherAssimilator (reference models/analysis.py:52) ->
+    graph_weather_tpu.models.analysis.GraphWeatherAssimilator.
+  * RegionalForecaster      (reference models/regional_forecast.py:133) ->
+    graph_weather_tpu.models.regional.RegionalForecaster.
 
 Conventions handled:
   * torch Linear stores [out, in]; flax kernels are [in, out] (transpose).
@@ -240,9 +253,319 @@ def convert_denoiser(
     }
 
 
+def convert_genda(sd: dict, num_blocks: int = 16, mlp_hidden_dims: int = 2) -> dict:
+    """Reference GenDA state_dict -> flax params.
+
+    GenDA (reference models/genda/model.py:66-174) instantiates the SAME
+    encoder/processor/decoder modules as the gencast Denoiser (only the
+    encoder's grid input dim grows by conditioning_dim), so the Denoiser
+    mapping applies verbatim. The non-trainable Preconditioner contributes
+    no tensors.
+    """
+    return convert_denoiser(sd, num_blocks=num_blocks, mlp_hidden_dims=mlp_hidden_dims)
+
+
+def convert_fgn(
+    sd: dict,
+    num_blocks: int = 24,
+    mlp_hidden_dims: int = 2,
+    use_edges_features: bool = True,
+) -> dict:
+    """Reference FGN state_dict -> flax params.
+
+    Reference models/fgn/model.py:60: gencast Encoder/Decoder plus an
+    FGN Processor (models/fgn/layers/processor.py:20) = the GenCast block
+    stack conditioned directly on the noise vector (no Fourier embedding).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    n_lin = mlp_hidden_dims
+    enc = {
+        "GenCastMLP_0": _gencast_mlp(sd, "encoder.grid_mlp", n_lin),
+        "GenCastMLP_1": _gencast_mlp(sd, "encoder.mesh_mlp", n_lin),
+        "GenCastMLP_2": _gencast_mlp(sd, "encoder.edges_mlp", n_lin),
+        "InteractionNetwork_0": _interaction_network(sd, "encoder.gnn", n_lin),
+        "GenCastMLP_3": _gencast_mlp(sd, "encoder.grid_mlp_final", n_lin),
+    }
+    proc = {}
+    if use_edges_features:
+        proc["GenCastMLP_0"] = _gencast_mlp(sd, "processor.edges_mlp", n_lin)
+    for i in range(num_blocks):
+        p = f"processor.cond_transformers.{i}"
+        proc[f"CondTransformerBlock_{i}"] = {
+            "GraphTransformerConv_0": _transformer_conv(
+                sd, f"{p}.transformer_conv"
+            ),
+            "ConditionalLayerNorm_0": _cond_layer_norm(sd, f"{p}.cond_norm"),
+        }
+    dec = {
+        "GenCastMLP_0": _gencast_mlp(sd, "decoder.edges_mlp", n_lin),
+        "InteractionNetwork_0": _interaction_network(sd, "decoder.gnn", n_lin),
+        "GenCastMLP_1": _gencast_mlp(sd, "decoder.grid_mlp_final", n_lin),
+    }
+    return {
+        "params": {
+            "GenCastEncoder_0": enc,
+            "FGNProcessor_0": proc,
+            "GenCastDecoder_0": dec,
+        }
+    }
+
+
+def _conv2d(sd, prefix):
+    """torch Conv2d [out, in, kh, kw] -> flax Conv kernel [kh, kw, in, out]."""
+    out = {
+        "kernel": np.ascontiguousarray(
+            np.transpose(sd[f"{prefix}.weight"], (2, 3, 1, 0))
+        )
+    }
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def _conv_transpose2d(sd, prefix):
+    """torch ConvTranspose2d [in, out, kh, kw] -> flax ConvTranspose
+    kernel [kh, kw, in, out].
+
+    flax ConvTranspose (lax.conv_transpose, transpose_kernel=False) applies
+    the kernel unmirrored, while torch's transposed conv places w[a, b] at
+    output offset (a, b) — i.e. the mirrored placement — so the spatial
+    dims are flipped here.
+    """
+    w = np.transpose(sd[f"{prefix}.weight"], (2, 3, 0, 1))[::-1, ::-1]
+    out = {"kernel": np.ascontiguousarray(w)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def _layer_norm(sd, prefix):
+    return {
+        "scale": np.asarray(sd[f"{prefix}.weight"]),
+        "bias": np.asarray(sd[f"{prefix}.bias"]),
+    }
+
+
+def convert_cafa(sd: dict, processor_depth: int = 6) -> dict:
+    """Reference CaFAForecaster state_dict -> flax params.
+
+    Reference models/cafa/model.py:10 + factorize.py: conv encoder, depth x
+    FactorizedTransformerBlock (height/width axial attention + FFN), conv-
+    transpose decoder.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    def axial(prefix):
+        return {
+            "TorchLinear_0": {
+                "kernel": np.ascontiguousarray(sd[f"{prefix}.to_qkv.weight"].T)
+            },
+            "TorchLinear_1": _linear(sd, f"{prefix}.to_out"),
+        }
+
+    blocks = {}
+    for i in range(processor_depth):
+        p = f"processor.blocks.{i}"
+        blocks[f"FactorizedTransformerBlock_{i}"] = {
+            "LayerNorm_0": _layer_norm(sd, f"{p}.norm1"),
+            "FactorizedAttention_0": {
+                "LayerNorm_0": _layer_norm(sd, f"{p}.attn.norm1"),
+                "AxialAttention_0": axial(f"{p}.attn.attn_height"),
+                "LayerNorm_1": _layer_norm(sd, f"{p}.attn.norm2"),
+                "AxialAttention_1": axial(f"{p}.attn.attn_width"),
+            },
+            "LayerNorm_1": _layer_norm(sd, f"{p}.norm2"),
+            "FeedForward_0": {
+                "TorchLinear_0": _linear(sd, f"{p}.ffn.0"),
+                "TorchLinear_1": _linear(sd, f"{p}.ffn.3"),
+            },
+        }
+    return {
+        "params": {
+            "CaFAEncoder_0": {"Conv_0": _conv2d(sd, "encoder.encoder")},
+            "CaFAProcessor_0": blocks,
+            "CaFADecoder_0": {
+                "ConvTranspose_0": _conv_transpose2d(sd, "decoder.decoder")
+            },
+        }
+    }
+
+
+def _mha(sd, prefix, num_heads):
+    """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention."""
+    w = np.asarray(sd[f"{prefix}.in_proj_weight"])  # [3E, E]
+    b = np.asarray(sd[f"{prefix}.in_proj_bias"])  # [3E]
+    e = w.shape[1]
+    hd = e // num_heads
+    qw, kw, vw = np.split(w, 3, axis=0)
+    qb, kb, vb = np.split(b, 3, axis=0)
+
+    def proj(wi, bi):
+        return {
+            "kernel": np.ascontiguousarray(wi.T).reshape(e, num_heads, hd),
+            "bias": bi.reshape(num_heads, hd),
+        }
+
+    return {
+        "query": proj(qw, qb),
+        "key": proj(kw, kb),
+        "value": proj(vw, vb),
+        "out": {
+            "kernel": np.ascontiguousarray(
+                sd[f"{prefix}.out_proj.weight"].T
+            ).reshape(num_heads, hd, e),
+            "bias": np.asarray(sd[f"{prefix}.out_proj.bias"]),
+        },
+    }
+
+
+def convert_aurora(sd: dict, num_layers: int = 4, num_heads: int = 8) -> dict:
+    """Reference AuroraModel state_dict -> flax params.
+
+    Reference models/aurora/model.py:187: PointEncoder (coord + feature
+    MLPs summed), PointCloudProcessor (post-norm MHA blocks), PointDecoder.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    enc = {
+        "_XavierLinear_0": _linear(sd, "encoder.coord_encoder.0"),
+        "LayerNorm_0": _layer_norm(sd, "encoder.coord_encoder.1"),
+        "_XavierLinear_1": _linear(sd, "encoder.coord_encoder.3"),
+        "_XavierLinear_2": _linear(sd, "encoder.feature_encoder.0"),
+        "LayerNorm_1": _layer_norm(sd, "encoder.feature_encoder.1"),
+        "_XavierLinear_3": _linear(sd, "encoder.feature_encoder.3"),
+        "LayerNorm_2": _layer_norm(sd, "encoder.norm"),
+    }
+    proc = {}
+    for i in range(num_layers):
+        p = f"processor.layers.{i}"
+        proc[f"SelfAttentionLayer_{i}"] = {
+            "MultiHeadDotProductAttention_0": _mha(
+                sd, f"{p}.attention", num_heads
+            ),
+            "LayerNorm_0": _layer_norm(sd, f"{p}.norm1"),
+            "_XavierLinear_0": _linear(sd, f"{p}.ffn.0"),
+            "_XavierLinear_1": _linear(sd, f"{p}.ffn.2"),
+            "LayerNorm_1": _layer_norm(sd, f"{p}.norm2"),
+        }
+    dec = {
+        "_XavierLinear_0": _linear(sd, "decoder.decoder.0"),
+        "_XavierLinear_1": _linear(sd, "decoder.decoder.2"),
+    }
+    return {
+        "params": {
+            "PointEncoder_0": enc,
+            "PointCloudProcessor_0": proc,
+            "PointDecoder_0": dec,
+        }
+    }
+
+
+def convert_assimilator(
+    sd: dict,
+    num_blocks: int = 9,
+    hidden_layers_processor: int = 2,
+    hidden_layers_decoder: int = 2,
+) -> dict:
+    """Reference GraphWeatherAssimilator state_dict -> flax params.
+
+    Reference models/analysis.py:52 + layers/assimilator_{encoder,
+    decoder}.py. The encoder's single obs->mesh message-passing round is
+    inlined in our AssimilatorEncoder (MLP_2 = edge model, MLP_3 = node
+    model); its non-learnable zero h3_nodes seed has no tensor. The
+    reference's reversed H3 row indexing (assimilator_encoder.py:190-194,
+    assimilator_decoder.py:73-78) needs the reversal-conjugated latent
+    graph to reproduce — see models/forecast.py:reversal_conjugated_latent.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    hl = hidden_layers_processor
+    encoder = {
+        "MLP_0": _mlp(sd, "encoder.node_encoder", hl),
+        "MLP_1": _mlp(sd, "encoder.edge_encoder", hl),
+        "MLP_2": _mlp(
+            sd, "encoder.graph_processor.blocks.0.edge_model.edge_mlp", hl
+        ),
+        "MLP_3": _mlp(
+            sd, "encoder.graph_processor.blocks.0.node_model.node_mlp", hl
+        ),
+        "MLP_4": _mlp(sd, "encoder.latent_edge_encoder", hl),
+    }
+    processor = {
+        "GraphProcessor_0": {
+            f"GraphProcessorBlock_{i}": _processor_block(
+                sd, f"processor.graph_processor.blocks.{i}", hl
+            )
+            for i in range(num_blocks)
+        }
+    }
+    decoder = {
+        "MLP_0": _mlp(sd, "decoder.edge_encoder", 2),
+        "GraphProcessorBlock_0": _processor_block(
+            sd, "decoder.graph_processor.blocks.0", hl
+        ),
+        "MLP_1": _mlp(
+            sd, "decoder.node_decoder", hidden_layers_decoder, norm=False
+        ),
+    }
+    return {
+        "params": {
+            "AssimilatorEncoder_0": encoder,
+            "Processor_0": processor,
+            "Decoder_0": decoder,
+        }
+    }
+
+
+def convert_regional(
+    sd: dict,
+    num_blocks: int = 9,
+    hidden_layers_processor: int = 2,
+    hidden_layers_decoder: int = 2,
+    enable_nudging: bool = False,
+) -> dict:
+    """Reference RegionalForecaster state_dict -> flax params.
+
+    Reference models/regional_forecast.py:133-298: global h3_embeddings
+    table, bipartite encoder GNN, latent processor, reversed-edge decoder
+    GNN, node decoder (WITH norm, unlike the global forecaster), optional
+    BoundaryNudgingLayer.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    hl = hidden_layers_processor
+    params = {
+        "h3_embeddings": sd["h3_embeddings"],
+        "MLP_0": _mlp(sd, "node_encoder", hl),
+        "MLP_1": _mlp(sd, "edge_encoder", hl),
+        "GraphProcessorBlock_0": _processor_block(sd, "encoder_gnn.blocks.0", hl),
+        "MLP_2": _mlp(sd, "latent_edge_encoder", hl),
+        "Processor_0": {
+            "GraphProcessor_0": {
+                f"GraphProcessorBlock_{i}": _processor_block(
+                    sd, f"processor.graph_processor.blocks.{i}", hl
+                )
+                for i in range(num_blocks)
+            }
+        },
+        "MLP_3": _mlp(sd, "decoder_edge_encoder", hl),
+        "GraphProcessorBlock_1": _processor_block(sd, "decoder_gnn.blocks.0", hl),
+        "MLP_4": _mlp(sd, "node_decoder", hidden_layers_decoder),
+    }
+    if enable_nudging:
+        params["BoundaryNudgingLayer_0"] = {
+            "MLP_0": _mlp(sd, "nudging.blend_mlp", 1, norm=False)
+        }
+    return {"params": params}
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--model", choices=["forecaster", "denoiser"], required=True)
+    p.add_argument(
+        "--model",
+        choices=[
+            "forecaster", "denoiser", "genda", "fgn", "cafa", "aurora",
+            "assimilator", "regional",
+        ],
+        required=True,
+    )
     p.add_argument("--inp", required=True, help=".npz of the torch state_dict, or a torch .pt")
     p.add_argument("--out", required=True, help="output .msgpack of flax params")
     p.add_argument("--num-blocks", type=int, default=None)
@@ -257,10 +580,39 @@ def main():
         raw = raw.get("state_dict", raw)
         sd = {k: v.numpy() for k, v in raw.items()}
 
+    nb = args.num_blocks
     if args.model == "forecaster":
-        params = convert_forecaster(sd, num_blocks=args.num_blocks or 9)
+        params = convert_forecaster(sd, num_blocks=nb or 9)
+    elif args.model == "denoiser":
+        params = convert_denoiser(sd, num_blocks=nb or 16)
+    elif args.model == "genda":
+        params = convert_genda(sd, num_blocks=nb or 16)
+    elif args.model == "fgn":
+        params = convert_fgn(
+            sd,
+            num_blocks=nb or 24,
+            use_edges_features="processor.edges_mlp.linears.0.weight" in sd,
+        )
+    elif args.model == "cafa":
+        depth = 1 + max(
+            int(k.split(".")[2])
+            for k in sd
+            if k.startswith("processor.blocks.")
+        )
+        params = convert_cafa(sd, processor_depth=depth)
+    elif args.model == "aurora":
+        layers = 1 + max(
+            int(k.split(".")[2]) for k in sd if k.startswith("processor.layers.")
+        )
+        params = convert_aurora(sd, num_layers=layers)
+    elif args.model == "assimilator":
+        params = convert_assimilator(sd, num_blocks=nb or 9)
     else:
-        params = convert_denoiser(sd, num_blocks=args.num_blocks or 16)
+        params = convert_regional(
+            sd,
+            num_blocks=nb or 9,
+            enable_nudging="nudging.blend_mlp.model.0.weight" in sd,
+        )
 
     from graph_weather_tpu.train.serialization import save_params
 

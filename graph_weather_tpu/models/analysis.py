@@ -242,6 +242,7 @@ class GraphWeatherAssimilator:
         hidden_layers_decoder: int = 2,
         norm_type: str = "LayerNorm",
         use_checkpointing: bool = False,
+        latent_graph_order: str = "native",
     ):
         validate_lat_lons(output_lat_lons)
         self.output_lat_lons = list(output_lat_lons)
@@ -252,7 +253,24 @@ class GraphWeatherAssimilator:
         self.mesh = mesh
         self.cell_xyz = jnp.asarray(mesh.cell_xyz, dtype=jnp.float32)
         ll = np.asarray(self.output_lat_lons, dtype=np.float64)
-        self.latent = DeviceGraph.from_bundle(build_latent_graph(mesh))
+        latent_bundle = build_latent_graph(mesh)
+        if latent_graph_order == "reference":
+            # Converted reference checkpoints: the reference indexes H3
+            # rows reversed in its encoder/decoder but builds the latent
+            # graph ascending (assimilator_encoder.py:190-194 vs
+            # create_latent_graph) — same quirk as the forecaster; see
+            # models/forecast.py:reversal_conjugated_latent.
+            from graph_weather_tpu.models.forecast import (
+                reversal_conjugated_latent,
+            )
+
+            latent_bundle = reversal_conjugated_latent(latent_bundle)
+        elif latent_graph_order != "native":
+            raise ValueError(
+                f"latent_graph_order must be 'native' or 'reference', got "
+                f"{latent_graph_order!r}"
+            )
+        self.latent = DeviceGraph.from_bundle(latent_bundle)
         self.m2g = DeviceGraph.from_bundle(build_mesh_to_grid_graph(ll, mesh))
 
         self.module = AssimilatorModule(

@@ -30,7 +30,9 @@ class _TransformerEncoderLayer(nn.Module):
             num_heads=self.nhead, qkv_features=self.d_model
         )(x, x, mask=mask)
         x = nn.LayerNorm(epsilon=1e-5)(x + attended)
-        act = nn.relu if self.activation == "relu" else nn.gelu
+        act = nn.relu if self.activation == "relu" else (
+            lambda x: nn.gelu(x, approximate=False)
+        )
         h = act(TorchLinear(self.dim_feedforward)(x))
         h = TorchLinear(self.d_model)(h)
         return nn.LayerNorm(epsilon=1e-5)(x + h)

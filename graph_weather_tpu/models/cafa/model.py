@@ -72,7 +72,7 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
-        x = nn.gelu(TorchLinear(int(dim * self.multiplier))(x))
+        x = nn.gelu(TorchLinear(int(dim * self.multiplier))(x), approximate=False)
         return TorchLinear(dim)(x)
 
 

@@ -110,7 +110,7 @@ class _FeedForward(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
         x = nn.LayerNorm(epsilon=1e-5)(x)
-        x = nn.gelu(TorchLinear(self.hidden_dim)(x))
+        x = nn.gelu(TorchLinear(self.hidden_dim)(x), approximate=False)
         return TorchLinear(dim)(x)
 
 

@@ -198,11 +198,16 @@ class FunctionalGenerativeNetwork:
         scale_factor: float = 1.0,
         remat: bool = False,
         attention_impl: str = "segment",
+        mesh_orientation: str = "pole",
+        node_layout: str = "consistent",
     ):
         if attention_impl not in (
             "segment", "banded", "banded_flash", "clustered_flash"
         ):
             raise ValueError(f"unknown attention_impl {attention_impl!r}")
+        if node_layout not in ("consistent", "reference"):
+            raise ValueError(f"unknown node_layout {node_layout!r}")
+        self.node_layout = node_layout
         if attention_impl != "segment" and use_edges_features:
             raise ValueError(
                 f"attention_impl={attention_impl!r} requires use_edges_features="
@@ -223,6 +228,7 @@ class FunctionalGenerativeNetwork:
             num_hops=num_hops,
             add_edge_features_to_khop=use_edges_features,
             spatial_sort="rcb" if attention_impl == "clustered_flash" else True,
+            mesh_orientation=mesh_orientation,
         )
         self.graphs = graphs
         self.g2m = DeviceGraph.from_bundle(graphs.g2m)
@@ -248,12 +254,19 @@ class FunctionalGenerativeNetwork:
         self._jit_apply = None
         self._jit_init = None
 
+    # Layout quirk handling identical to Denoiser._to_nodes (the reference
+    # FGN flattens data lon-major against lat-major graphs too,
+    # reference models/fgn/model.py:334-336).
     def _to_nodes(self, x):
         b, lon, lat, f = x.shape
+        if self.node_layout == "reference":
+            return x.reshape(b, lon * lat, f)
         return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, lat * lon, f)
 
     def _from_nodes(self, x):
         b, n, f = x.shape
+        if self.node_layout == "reference":
+            return x.reshape(b, self.num_lon, self.num_lat, f)
         return jnp.transpose(
             x.reshape(b, self.num_lat, self.num_lon, f), (0, 2, 1, 3)
         )

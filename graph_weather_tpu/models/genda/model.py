@@ -82,6 +82,8 @@ class GenDA(Denoiser):
         conditioning_dim: int = 2,
         remat: bool = False,
         attention_impl: str = "segment",
+        mesh_orientation: str = "pole",
+        node_layout: str = "consistent",
     ):
         super().__init__(
             grid_lon=grid_lon,
@@ -97,6 +99,8 @@ class GenDA(Denoiser):
             scale_factor=scale_factor,
             remat=remat,
             attention_impl=attention_impl,
+            mesh_orientation=mesh_orientation,
+            node_layout=node_layout,
         )
         self.conditioning_dim = conditioning_dim
 

@@ -99,10 +99,10 @@ class ConvDownBlock(nn.Module):
         identity = _norm(self.out_channels)(identity)
 
         out = nn.Conv(self.out_channels, kernel_size=k, use_bias=False)(x)
-        out = nn.gelu(_norm(self.out_channels)(out))
+        out = nn.gelu(_norm(self.out_channels)(out), approximate=False)
         out = nn.Conv(self.out_channels, kernel_size=k, strides=stride, use_bias=False)(out)
         out = _norm(self.out_channels)(out)
-        return nn.gelu(out + identity)
+        return nn.gelu(out + identity, approximate=False)
 
 
 class ConvUpBlock(nn.Module):
@@ -133,10 +133,10 @@ class ConvUpBlock(nn.Module):
         identity = _norm(self.out_channels)(identity)
 
         out = nn.Conv(x.shape[-1], kernel_size=k, use_bias=False)(x)
-        out = nn.gelu(_norm(x.shape[-1])(out))
+        out = nn.gelu(_norm(x.shape[-1])(out), approximate=False)
         out = nn.Conv(self.out_channels, kernel_size=k, use_bias=False)(out)
         out = _norm(self.out_channels)(out)
-        return nn.gelu(out + identity)
+        return nn.gelu(out + identity, approximate=False)
 
 
 @dataclass

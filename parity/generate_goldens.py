@@ -204,9 +204,480 @@ def generate_gencast(out_dir: str, cfg=GENCAST_SMALL) -> str:
     return path
 
 
+def _jittered_grid(nlon, nlat, seed=123):
+    """Grid with deterministic jitter (see generate_gencast docstring)."""
+    jrng = np.random.default_rng(seed)
+    grid_lon = np.sort(
+        np.arange(0.0, 360.0, 360.0 / nlon) + jrng.uniform(0.05, 0.45, nlon)
+    )
+    grid_lat = np.sort(
+        np.linspace(-89.0, 89.0, nlat) + jrng.uniform(-0.45, 0.45, nlat)
+    )
+    return grid_lon, grid_lat
+
+
+def _state_dict_np(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+FGN_SMALL = dict(
+    nlon=32, nlat=16, input_features_dim=3, output_features_dim=2,
+    noise_dimension=8, hidden_dims=[16, 16], num_blocks=3, num_heads=2,
+    splits=2, num_hops=2, use_edges_features=True,
+)
+
+
+def generate_fgn(out_dir: str, cfg=FGN_SMALL) -> str:
+    """Golden for FGN (reference models/fgn/model.py:60).
+
+    The reference `forward` draws a fresh torch.randn noise vector per
+    ensemble member (model.py:336-341); the golden drives the SAME
+    internal pipeline (_run_encoder -> _run_processor -> _run_decoder)
+    with a FIXED noise vector so the comparison is deterministic.
+    """
+    from parity import ref_shims
+
+    ref_shims.install()
+    ref_shims.add_reference_to_path()
+    import torch
+
+    from graph_weather.models.fgn.model import FunctionalGenerativeNetwork
+
+    torch.manual_seed(0)
+    grid_lon, grid_lat = _jittered_grid(cfg["nlon"], cfg["nlat"])
+    model = FunctionalGenerativeNetwork(
+        grid_lon=grid_lon,
+        grid_lat=grid_lat,
+        input_features_dim=cfg["input_features_dim"],
+        output_features_dim=cfg["output_features_dim"],
+        noise_dimension=cfg["noise_dimension"],
+        hidden_dims=list(cfg["hidden_dims"]),
+        num_blocks=cfg["num_blocks"],
+        num_heads=cfg["num_heads"],
+        splits=cfg["splits"],
+        num_hops=cfg["num_hops"],
+        use_edges_features=cfg["use_edges_features"],
+    )
+    model.eval()
+    rng = np.random.default_rng(42)
+    prev = rng.standard_normal(
+        (2, cfg["nlon"] * cfg["nlat"], cfg["input_features_dim"])
+    ).astype(np.float32)
+    noise = rng.standard_normal((2, cfg["noise_dimension"])).astype(np.float32)
+    with torch.no_grad():
+        lg, lm = model._run_encoder(torch.tensor(prev))
+        lm = model._run_processor(lm, noise_vectors=torch.tensor(noise))
+        y = model._run_decoder(lm, lg).numpy()
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "fgn_small.npz")
+    np.savez_compressed(
+        path,
+        __prev__=prev,
+        __noise__=noise,
+        __output__=y,
+        __grid_lon__=grid_lon,
+        __grid_lat__=grid_lat,
+        __config__=np.array(
+            [
+                cfg["nlon"], cfg["nlat"], cfg["input_features_dim"],
+                cfg["output_features_dim"], cfg["noise_dimension"],
+                cfg["hidden_dims"][0], cfg["num_blocks"], cfg["num_heads"],
+                cfg["splits"], cfg["num_hops"],
+                float(cfg["use_edges_features"]),
+            ],
+            dtype=np.float64,
+        ),
+        **_state_dict_np(model),
+    )
+    print(f"wrote {path}: output mean {y.mean():+.6f} std {y.std():.6f}")
+    return path
+
+
+GENDA_SMALL = dict(
+    nlon=32, nlat=16, input_features_dim=3, output_features_dim=2,
+    hidden_dims=[16, 16], num_blocks=3, num_heads=2, splits=2, num_hops=2,
+    use_edges_features=True, conditioning_dim=2,
+)
+
+
+def generate_genda(out_dir: str, cfg=GENDA_SMALL) -> str:
+    """Golden for GenDA (reference models/genda/model.py:66) with sensor
+    conditioning channels active (eval mode: no conditioning dropout)."""
+    from parity import ref_shims
+
+    ref_shims.install()
+    ref_shims.add_reference_to_path()
+    import torch
+
+    from graph_weather.models.genda.model import GenDA
+
+    torch.manual_seed(0)
+    grid_lon, grid_lat = _jittered_grid(cfg["nlon"], cfg["nlat"])
+    model = GenDA(
+        grid_lon=grid_lon,
+        grid_lat=grid_lat,
+        input_features_dim=cfg["input_features_dim"],
+        output_features_dim=cfg["output_features_dim"],
+        hidden_dims=list(cfg["hidden_dims"]),
+        num_blocks=cfg["num_blocks"],
+        num_heads=cfg["num_heads"],
+        splits=cfg["splits"],
+        num_hops=cfg["num_hops"],
+        use_edges_features=cfg["use_edges_features"],
+        conditioning_dim=cfg["conditioning_dim"],
+    )
+    model.eval()
+    rng = np.random.default_rng(42)
+    shape = (2, cfg["nlon"], cfg["nlat"])
+    corrupted = rng.standard_normal(
+        shape + (cfg["output_features_dim"],)
+    ).astype(np.float32)
+    prev = rng.standard_normal(
+        shape + (2 * cfg["input_features_dim"],)
+    ).astype(np.float32)
+    noise = np.array([[0.5], [1.5]], dtype=np.float32)
+    mask = (rng.uniform(size=shape + (1,)) < 0.3).astype(np.float32)
+    values = (rng.standard_normal(shape + (1,)) * mask).astype(np.float32)
+    with torch.no_grad():
+        y = model(
+            torch.tensor(corrupted),
+            torch.tensor(prev),
+            torch.tensor(noise),
+            sensor_mask=torch.tensor(mask),
+            sensor_values=torch.tensor(values),
+        ).numpy()
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "genda_small.npz")
+    np.savez_compressed(
+        path,
+        __corrupted__=corrupted,
+        __prev__=prev,
+        __noise__=noise,
+        __mask__=mask,
+        __values__=values,
+        __output__=y,
+        __grid_lon__=grid_lon,
+        __grid_lat__=grid_lat,
+        __config__=np.array(
+            [
+                cfg["nlon"], cfg["nlat"], cfg["input_features_dim"],
+                cfg["output_features_dim"], cfg["hidden_dims"][0],
+                cfg["num_blocks"], cfg["num_heads"], cfg["splits"],
+                cfg["num_hops"], float(cfg["use_edges_features"]),
+                cfg["conditioning_dim"],
+            ],
+            dtype=np.float64,
+        ),
+        **_state_dict_np(model),
+    )
+    print(f"wrote {path}: output mean {y.mean():+.6f} std {y.std():.6f}")
+    return path
+
+
+CAFA_SMALL = dict(
+    input_channels=3, output_channels=2, model_dim=32, downsampling_factor=2,
+    processor_depth=2, num_heads=2, dim_head=16, feedforward_multiplier=4,
+    height=17, width=32,
+)
+
+
+def generate_cafa(out_dir: str, cfg=CAFA_SMALL) -> str:
+    """Golden for CaFA (reference models/cafa/model.py:10); odd height
+    exercises the pad/crop path (model.py:74-93)."""
+    from parity import ref_shims
+
+    ref_shims.install()
+    ref_shims.add_reference_to_path()
+    import torch
+
+    from graph_weather.models.cafa.model import CaFAForecaster
+
+    torch.manual_seed(0)
+    model = CaFAForecaster(
+        input_channels=cfg["input_channels"],
+        output_channels=cfg["output_channels"],
+        model_dim=cfg["model_dim"],
+        downsampling_factor=cfg["downsampling_factor"],
+        processor_depth=cfg["processor_depth"],
+        num_heads=cfg["num_heads"],
+        dim_head=cfg["dim_head"],
+        feedforward_multiplier=cfg["feedforward_multiplier"],
+    )
+    model.eval()
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal(
+        (2, cfg["input_channels"], cfg["height"], cfg["width"])
+    ).astype(np.float32)
+    with torch.no_grad():
+        y = model(torch.tensor(x)).numpy()
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "cafa_small.npz")
+    np.savez_compressed(
+        path,
+        __input__=x,
+        __output__=y,
+        __config__=np.array(
+            [
+                cfg["input_channels"], cfg["output_channels"], cfg["model_dim"],
+                cfg["downsampling_factor"], cfg["processor_depth"],
+                cfg["num_heads"], cfg["dim_head"],
+                cfg["feedforward_multiplier"],
+            ],
+            dtype=np.float64,
+        ),
+        **_state_dict_np(model),
+    )
+    print(f"wrote {path}: output mean {y.mean():+.6f} std {y.std():.6f}")
+    return path
+
+
+AURORA_SMALL = dict(
+    input_features=4, output_features=3, latent_dim=32, num_layers=2,
+    num_points=64,
+)
+
+
+def generate_aurora(out_dir: str, cfg=AURORA_SMALL) -> str:
+    """Golden for AuroraModel (reference models/aurora/model.py:187),
+    masked and unmasked."""
+    from parity import ref_shims
+
+    ref_shims.install()
+    ref_shims.add_reference_to_path()
+    import torch
+
+    from graph_weather.models.aurora.model import AuroraModel
+
+    torch.manual_seed(0)
+    model = AuroraModel(
+        input_features=cfg["input_features"],
+        output_features=cfg["output_features"],
+        latent_dim=cfg["latent_dim"],
+        num_layers=cfg["num_layers"],
+    )
+    model.eval()
+    rng = np.random.default_rng(42)
+    n = cfg["num_points"]
+    points = np.stack(
+        [rng.uniform(-180, 180, (2, n)), rng.uniform(-90, 90, (2, n))], axis=-1
+    ).astype(np.float32)
+    feats = rng.standard_normal((2, n, cfg["input_features"])).astype(np.float32)
+    mask = (rng.uniform(size=(2, n)) < 0.8).astype(np.float32)
+    with torch.no_grad():
+        y = model(torch.tensor(points), torch.tensor(feats)).numpy()
+        y_masked = model(
+            torch.tensor(points), torch.tensor(feats), mask=torch.tensor(mask)
+        ).numpy()
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "aurora_small.npz")
+    np.savez_compressed(
+        path,
+        __points__=points,
+        __features__=feats,
+        __mask__=mask,
+        __output__=y,
+        __output_masked__=y_masked,
+        __config__=np.array(
+            [
+                cfg["input_features"], cfg["output_features"],
+                cfg["latent_dim"], cfg["num_layers"],
+            ],
+            dtype=np.float64,
+        ),
+        **_state_dict_np(model),
+    )
+    print(f"wrote {path}: output mean {y.mean():+.6f} std {y.std():.6f}")
+    return path
+
+
+ASSIM_SMALL = dict(
+    lat_step=30.0, lon_step=45.0, observation_dim=2, analysis_dim=4,
+    node_dim=16, edge_dim=16, num_blocks=2, hidden=16, hidden_dim_decoder=8,
+    num_obs=32, resolution=2,
+)
+
+
+def generate_assimilator(out_dir: str, cfg=ASSIM_SMALL) -> str:
+    """Golden for GraphWeatherAssimilator (reference models/analysis.py:52).
+
+    Obs positions are random (seeded); the h3 shim's latlng_to_cell is the
+    same Voronoi nearest-center assignment our on-device argmax computes,
+    so both sides build the identical obs->mesh graph.
+    """
+    from parity import ref_shims
+
+    ref_shims.install()
+    ref_shims.add_reference_to_path()
+    import torch
+
+    from graph_weather.models.analysis import GraphWeatherAssimilator
+
+    torch.manual_seed(0)
+    lat_lons = [
+        (float(a), float(b))
+        for a in np.arange(-90.0, 90.0, cfg["lat_step"])
+        for b in np.arange(0.0, 360.0, cfg["lon_step"])
+    ]
+    model = GraphWeatherAssimilator(
+        output_lat_lons=lat_lons,
+        resolution=cfg["resolution"],
+        observation_dim=cfg["observation_dim"],
+        analysis_dim=cfg["analysis_dim"],
+        node_dim=cfg["node_dim"],
+        edge_dim=cfg["edge_dim"],
+        num_blocks=cfg["num_blocks"],
+        hidden_dim_processor_node=cfg["hidden"],
+        hidden_dim_processor_edge=cfg["hidden"],
+        hidden_dim_decoder=cfg["hidden_dim_decoder"],
+    )
+    model.eval()
+    rng = np.random.default_rng(42)
+    n_obs = cfg["num_obs"]
+    obs_llh = np.stack(
+        [
+            rng.uniform(-85.0, 85.0, n_obs),
+            rng.uniform(0.0, 360.0, n_obs),
+            rng.uniform(0.0, 5000.0, n_obs),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    feats = rng.standard_normal((1, n_obs, cfg["observation_dim"])).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        y = model(torch.tensor(feats), torch.tensor(obs_llh)).numpy()
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "assimilator_small.npz")
+    np.savez_compressed(
+        path,
+        __features__=feats,
+        __obs_llh__=obs_llh,
+        __output__=y,
+        __config__=np.array(
+            [
+                cfg["lat_step"], cfg["lon_step"], cfg["observation_dim"],
+                cfg["analysis_dim"], cfg["node_dim"], cfg["edge_dim"],
+                cfg["num_blocks"], cfg["hidden"], cfg["hidden_dim_decoder"],
+                cfg["resolution"],
+            ],
+            dtype=np.float64,
+        ),
+        **_state_dict_np(model),
+    )
+    print(f"wrote {path}: output shape {y.shape} mean {y.mean():+.6f}")
+    return path
+
+
+REGIONAL_SMALL = dict(
+    resolution=2, feature_dim=3, aux_dim=1, node_dim=16, edge_dim=16,
+    num_blocks=2, hidden=16, hidden_dim_decoder=8, enable_nudging=True,
+    nudging_hidden_dim=8,
+)
+
+
+def generate_regional(out_dir: str, cfg=REGIONAL_SMALL) -> str:
+    """Golden for RegionalForecaster (reference regional_forecast.py:133)
+    with boundary nudging enabled (global_context supplied)."""
+    from parity import ref_shims
+
+    ref_shims.install()
+    ref_shims.add_reference_to_path()
+    import torch
+
+    from graph_weather.models.regional_forecast import (
+        RegionalForecaster,
+        RegionalForecasterConfig,
+    )
+
+    torch.manual_seed(0)
+    # A regional patch over Europe (jittered so no point sits on a cell
+    # boundary).
+    jrng = np.random.default_rng(7)
+    lat_lons = [
+        (float(a + jrng.uniform(0.05, 0.4)), float(b + jrng.uniform(0.05, 0.4)))
+        for a in np.arange(35.0, 65.0, 5.0)
+        for b in np.arange(0.0, 30.0, 5.0)
+    ]
+    model = RegionalForecaster(
+        RegionalForecasterConfig(
+            resolution=cfg["resolution"],
+            feature_dim=cfg["feature_dim"],
+            aux_dim=cfg["aux_dim"],
+            node_dim=cfg["node_dim"],
+            edge_dim=cfg["edge_dim"],
+            num_blocks=cfg["num_blocks"],
+            hidden_dim_processor_node=cfg["hidden"],
+            hidden_dim_processor_edge=cfg["hidden"],
+            hidden_dim_decoder=cfg["hidden_dim_decoder"],
+            enable_nudging=cfg["enable_nudging"],
+            nudging_hidden_dim=cfg["nudging_hidden_dim"],
+        )
+    )
+    model.eval()
+    # Nonzero embeddings: zero-init would mask gather/order bugs.
+    with torch.no_grad():
+        model.h3_embeddings.copy_(torch.randn_like(model.h3_embeddings) * 0.5)
+    rng = np.random.default_rng(42)
+    feats = rng.standard_normal(
+        (2, len(lat_lons), cfg["feature_dim"] + cfg["aux_dim"])
+    ).astype(np.float32)
+    glob = rng.standard_normal(
+        (2, len(lat_lons), cfg["feature_dim"])
+    ).astype(np.float32)
+    with torch.no_grad():
+        y = model(torch.tensor(feats), lat_lons).numpy()
+        y_nudged = model(
+            torch.tensor(feats), lat_lons, global_context=torch.tensor(glob)
+        ).numpy()
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "regional_small.npz")
+    np.savez_compressed(
+        path,
+        __features__=feats,
+        __global_context__=glob,
+        __lat_lons__=np.asarray(lat_lons, dtype=np.float64),
+        __output__=y,
+        __output_nudged__=y_nudged,
+        __config__=np.array(
+            [
+                cfg["resolution"], cfg["feature_dim"], cfg["aux_dim"],
+                cfg["node_dim"], cfg["edge_dim"], cfg["num_blocks"],
+                cfg["hidden"], cfg["hidden_dim_decoder"],
+                float(cfg["enable_nudging"]), cfg["nudging_hidden_dim"],
+            ],
+            dtype=np.float64,
+        ),
+        **_state_dict_np(model),
+    )
+    print(f"wrote {path}: output mean {y.mean():+.6f} std {y.std():.6f}")
+    return path
+
+
+GENERATORS = {
+    "forecaster": generate_forecaster,
+    "gencast": generate_gencast,
+    "fgn": generate_fgn,
+    "genda": generate_genda,
+    "cafa": generate_cafa,
+    "aurora": generate_aurora,
+    "assimilator": generate_assimilator,
+    "regional": generate_regional,
+}
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="tests/goldens")
+    p.add_argument(
+        "--only", default=None, help="comma-separated generator names"
+    )
     args = p.parse_args()
-    generate_forecaster(args.out)
-    generate_gencast(args.out)
+    names = args.only.split(",") if args.only else list(GENERATORS)
+    for name in names:
+        GENERATORS[name](args.out)

@@ -13,38 +13,16 @@ import os
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from graph_weather_tpu import GraphWeatherForecaster
-from graph_weather_tpu.meshes.graphs import GraphBundle
-from graph_weather_tpu.nn.graph_blocks import DeviceGraph
 from graph_weather_tpu.convert import convert_forecaster
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "forecaster_small.npz")
-
-
-def _reversal_conjugated(bundle: GraphBundle) -> GraphBundle:
-    """Map both endpoints of the latent graph through the reversal
-    permutation rho(i) = N-1-i, keeping edge attrs.
-
-    The reference's encoder/decoder index H3 rows in reversed sorted-cell
-    order while its latent processor graph is built ascending (reference
-    models/layers/encoder.py:80-85 vs :244-268); in cell space its
-    processor therefore runs on rho(E). This harness-only transform
-    reproduces that net function exactly — the framework's own models keep
-    the consistent (unconjugated) ordering.
-    """
-    n = bundle.n_senders
-    return GraphBundle(
-        senders=(n - 1 - bundle.senders).astype(np.int32),
-        receivers=(n - 1 - bundle.receivers).astype(np.int32),
-        edge_attr=bundle.edge_attr,
-        n_senders=n,
-        n_receivers=n,
-    ).sorted_by_receiver()
 
 
 @pytest.mark.skipif(not os.path.exists(GOLDEN), reason="golden not generated")
@@ -67,10 +45,9 @@ def test_forecaster_matches_torch_reference_golden():
         hidden_dim_processor_node=int(hid_node),
         hidden_dim_processor_edge=int(hid_edge),
         hidden_dim_decoder=int(hid_dec),
-    )
-    # Reproduce the reference's latent-graph ordering quirk (docstring).
-    model.latent = DeviceGraph.from_bundle(
-        _reversal_conjugated(model.latent_bundle)
+        # Reproduce the reference's latent-graph ordering quirk (see
+        # models/forecast.py:reversal_conjugated_latent).
+        latent_graph_order="reference",
     )
 
     sd = {k: data[k] for k in data.files if not k.startswith("__")}
@@ -184,5 +161,371 @@ def test_denoiser_from_pretrained_local_dir(tmp_path):
     )
     per_var_rmse = np.sqrt(
         ((out - data["__output__"]) ** 2).mean(axis=(0, 1, 2))
+    )
+    assert per_var_rmse.max() < 1e-5, per_var_rmse
+
+
+class TestForecasterHub:
+    """Hub-format save/load for the forecaster family (reference
+    models/forecast.py:61 PyTorchModelHubMixin + train/run.py:531-543)."""
+
+    def _tiny_model(self):
+        lat_lons = [
+            (float(a), float(b))
+            for a in np.arange(-90.0, 90.0, 30.0)
+            for b in np.arange(0.0, 360.0, 45.0)
+        ]
+        return GraphWeatherForecaster(
+            lat_lons, feature_dim=4, aux_dim=2, node_dim=16, edge_dim=16,
+            num_blocks=2, hidden_dim_processor_node=16,
+            hidden_dim_processor_edge=16, hidden_dim_decoder=8,
+        )
+
+    def test_native_roundtrip(self, tmp_path):
+        pytest.importorskip("safetensors.numpy")
+        model = self._tiny_model()
+        params = model.init(jax.random.PRNGKey(0))
+        model.save_pretrained(str(tmp_path / "ckpt"), params)
+
+        model2, params2 = GraphWeatherForecaster.from_pretrained(
+            str(tmp_path / "ckpt")
+        )
+        assert model2.lat_lons == model.lat_lons
+        assert jax.tree_util.tree_structure(
+            params2
+        ) == jax.tree_util.tree_structure(params)
+        x = jax.random.normal(
+            jax.random.PRNGKey(1), (1, model.num_grid_nodes, 6)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(model.apply(params, x)),
+            np.asarray(model2.apply(params2, x)),
+        )
+
+    @pytest.mark.skipif(
+        not os.path.exists(GOLDEN), reason="golden not generated"
+    )
+    def test_reference_checkpoint_load(self, tmp_path):
+        """A reference-format hub directory (PyTorchModelHubMixin layout:
+        config.json of constructor kwargs + torch state_dict safetensors)
+        loads through from_pretrained and reproduces the golden output."""
+        safetensors = pytest.importorskip("safetensors.numpy")
+        import json
+
+        data = np.load(GOLDEN)
+        (lat_step, lon_step, feature_dim, aux_dim, node_dim, edge_dim,
+         num_blocks, hid_node, hid_edge, hid_dec) = data["__config__"]
+        lat_lons = [
+            [float(a), float(b)]
+            for a in np.arange(-90.0, 90.0, lat_step)
+            for b in np.arange(0.0, 360.0, lon_step)
+        ]
+        cfg = {
+            "lat_lons": lat_lons,
+            "feature_dim": int(feature_dim),
+            "aux_dim": int(aux_dim),
+            "node_dim": int(node_dim),
+            "edge_dim": int(edge_dim),
+            "num_blocks": int(num_blocks),
+            "hidden_dim_processor_node": int(hid_node),
+            "hidden_dim_processor_edge": int(hid_edge),
+            "hidden_dim_decoder": int(hid_dec),
+        }
+        (tmp_path / "config.json").write_text(json.dumps(cfg))
+        sd = {k: data[k] for k in data.files if not k.startswith("__")}
+        safetensors.save_file(sd, str(tmp_path / "model.safetensors"))
+
+        model, params = GraphWeatherForecaster.from_pretrained(str(tmp_path))
+        out = np.asarray(model.apply(params, data["__input__"]))
+        per_var_rmse = np.sqrt(
+            ((out - data["__output__"]) ** 2).mean(axis=(0, 1))
+        )
+        assert per_var_rmse.max() < 1e-5, per_var_rmse
+
+
+def _golden(name):
+    return os.path.join(os.path.dirname(__file__), "goldens", name)
+
+
+def _sd(data):
+    return {k: data[k] for k in data.files if not k.startswith("__")}
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_golden("fgn_small.npz")), reason="golden not generated"
+)
+def test_fgn_matches_torch_reference_golden():
+    """FGN parity (reference models/fgn/model.py:60): converted weights,
+    fixed noise vector driven through member_fn."""
+    from graph_weather_tpu.convert import convert_fgn
+    from graph_weather_tpu.models.fgn import FunctionalGenerativeNetwork
+
+    data = np.load(_golden("fgn_small.npz"))
+    (nlon, nlat, f_in, f_out, zdim, hid, num_blocks, num_heads, splits,
+     num_hops, use_edges) = data["__config__"]
+    fgn = FunctionalGenerativeNetwork(
+        grid_lon=data["__grid_lon__"],
+        grid_lat=data["__grid_lat__"],
+        input_features_dim=int(f_in),
+        output_features_dim=int(f_out),
+        noise_dimension=int(zdim),
+        hidden_dims=(int(hid),) * 2,
+        num_blocks=int(num_blocks),
+        num_heads=int(num_heads),
+        splits=int(splits),
+        num_hops=int(num_hops),
+        use_edges_features=bool(use_edges),
+        mesh_orientation="graphcast",
+        node_layout="reference",
+    )
+    params = convert_fgn(
+        _sd(data), num_blocks=int(num_blocks), mlp_hidden_dims=2,
+        use_edges_features=bool(use_edges),
+    )
+    ref_tree = jax.tree_util.tree_structure(fgn.init(jax.random.PRNGKey(0)))
+    assert jax.tree_util.tree_structure(params) == ref_tree
+
+    # Golden prev/output are [B, N] node-major (lon-major flattening).
+    prev = data["__prev__"].reshape(2, int(nlon), int(nlat), int(f_in))
+    out = np.asarray(
+        jax.jit(fgn.member_fn())(params, prev, data["__noise__"])
+    ).reshape(2, -1, int(f_out))
+    expected = data["__output__"]
+    per_var_rmse = np.sqrt(((out - expected) ** 2).mean(axis=(0, 1)))
+    assert per_var_rmse.max() < 1e-5, per_var_rmse
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_golden("genda_small.npz")),
+    reason="golden not generated",
+)
+def test_genda_matches_torch_reference_golden():
+    """GenDA parity (reference models/genda/model.py:66): sensor-mask/value
+    conditioning channels + Karras preconditioning."""
+    from graph_weather_tpu.convert import convert_genda
+    from graph_weather_tpu.models.genda import GenDA
+
+    data = np.load(_golden("genda_small.npz"))
+    (nlon, nlat, f_in, f_out, hid, num_blocks, num_heads, splits, num_hops,
+     use_edges, cdim) = data["__config__"]
+    model = GenDA(
+        grid_lon=data["__grid_lon__"],
+        grid_lat=data["__grid_lat__"],
+        input_features_dim=int(f_in),
+        output_features_dim=int(f_out),
+        hidden_dims=(int(hid),) * 2,
+        num_blocks=int(num_blocks),
+        num_heads=int(num_heads),
+        splits=int(splits),
+        num_hops=int(num_hops),
+        use_edges_features=bool(use_edges),
+        conditioning_dim=int(cdim),
+        mesh_orientation="graphcast",
+        node_layout="reference",
+    )
+    params = convert_genda(
+        _sd(data), num_blocks=int(num_blocks), mlp_hidden_dims=2
+    )
+    ref_tree = jax.tree_util.tree_structure(model.init(jax.random.PRNGKey(0)))
+    assert jax.tree_util.tree_structure(params) == ref_tree
+
+    out = np.asarray(
+        model.apply(
+            params,
+            data["__corrupted__"],
+            data["__prev__"],
+            data["__noise__"],
+            sensor_mask=data["__mask__"],
+            sensor_values=data["__values__"],
+        )
+    )
+    expected = data["__output__"]
+    per_var_rmse = np.sqrt(((out - expected) ** 2).mean(axis=(0, 1, 2)))
+    # 3e-5: the Karras preconditioning's c_out amplification on top of the
+    # usual f32 op-reordering noise (observed 1.46e-5; an order-of-
+    # magnitude margin below would indicate a real wiring bug).
+    assert per_var_rmse.max() < 3e-5, per_var_rmse
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_golden("cafa_small.npz")),
+    reason="golden not generated",
+)
+def test_cafa_matches_torch_reference_golden():
+    """CaFA parity (reference models/cafa/model.py:10) incl. odd-height
+    pad/crop and the ConvTranspose kernel-mirror mapping."""
+    from graph_weather_tpu.convert import convert_cafa
+    from graph_weather_tpu.models.cafa import CaFAForecaster
+
+    data = np.load(_golden("cafa_small.npz"))
+    (c_in, c_out, dim, down, depth, heads, dim_head, ff) = data["__config__"]
+    model = CaFAForecaster(
+        input_channels=int(c_in),
+        output_channels=int(c_out),
+        model_dim=int(dim),
+        downsampling_factor=int(down),
+        processor_depth=int(depth),
+        num_heads=int(heads),
+        dim_head=int(dim_head),
+        feedforward_multiplier=int(ff),
+    )
+    params = convert_cafa(_sd(data), processor_depth=int(depth))
+    x = jnp.asarray(data["__input__"])
+    ref_tree = jax.tree_util.tree_structure(
+        jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    )
+    assert jax.tree_util.tree_structure(params) == ref_tree
+
+    out = np.asarray(jax.jit(model.apply)(params, x))
+    expected = data["__output__"]
+    assert out.shape == expected.shape
+    per_var_rmse = np.sqrt(((out - expected) ** 2).mean(axis=(0, 2, 3)))
+    assert per_var_rmse.max() < 1e-5, per_var_rmse
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_golden("aurora_small.npz")),
+    reason="golden not generated",
+)
+def test_aurora_matches_torch_reference_golden():
+    """Aurora point-cloud model parity (reference models/aurora/model.py:187),
+    masked and unmasked."""
+    from graph_weather_tpu.convert import convert_aurora
+    from graph_weather_tpu.models.aurora import AuroraModel
+
+    data = np.load(_golden("aurora_small.npz"))
+    f_in, f_out, latent, layers = data["__config__"]
+    model = AuroraModel(
+        input_features=int(f_in),
+        output_features=int(f_out),
+        latent_dim=int(latent),
+        num_layers=int(layers),
+    )
+    params = convert_aurora(_sd(data), num_layers=int(layers))
+    pts = jnp.asarray(data["__points__"])
+    feats = jnp.asarray(data["__features__"])
+    ref_tree = jax.tree_util.tree_structure(
+        jax.jit(model.init)(jax.random.PRNGKey(0), pts, feats)
+    )
+    assert jax.tree_util.tree_structure(params) == ref_tree
+
+    out = np.asarray(jax.jit(model.apply)(params, pts, feats))
+    per_var_rmse = np.sqrt(
+        ((out - data["__output__"]) ** 2).mean(axis=(0, 1))
+    )
+    assert per_var_rmse.max() < 1e-5, per_var_rmse
+
+    out_m = np.asarray(
+        jax.jit(model.apply)(params, pts, feats, jnp.asarray(data["__mask__"]))
+    )
+    per_var_rmse = np.sqrt(
+        ((out_m - data["__output_masked__"]) ** 2).mean(axis=(0, 1))
+    )
+    assert per_var_rmse.max() < 1e-5, per_var_rmse
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_golden("assimilator_small.npz")),
+    reason="golden not generated",
+)
+def test_assimilator_matches_torch_reference_golden():
+    """Assimilator parity (reference models/analysis.py:52): Voronoi obs
+    assignment == the reference's shimmed latlng_to_cell; reversal-
+    conjugated latent graph reproduces the reference's H3 row ordering."""
+    from graph_weather_tpu.convert import convert_assimilator
+    from graph_weather_tpu.models.analysis import GraphWeatherAssimilator
+
+    data = np.load(_golden("assimilator_small.npz"))
+    (lat_step, lon_step, obs_dim, analysis_dim, node_dim, edge_dim,
+     num_blocks, hidden, hid_dec, resolution) = data["__config__"]
+    lat_lons = [
+        (float(a), float(b))
+        for a in np.arange(-90.0, 90.0, lat_step)
+        for b in np.arange(0.0, 360.0, lon_step)
+    ]
+    model = GraphWeatherAssimilator(
+        output_lat_lons=lat_lons,
+        resolution=int(resolution),
+        observation_dim=int(obs_dim),
+        analysis_dim=int(analysis_dim),
+        node_dim=int(node_dim),
+        edge_dim=int(edge_dim),
+        num_blocks=int(num_blocks),
+        hidden_dim_processor_node=int(hidden),
+        hidden_dim_processor_edge=int(hidden),
+        hidden_dim_decoder=int(hid_dec),
+        latent_graph_order="reference",
+    )
+    params = convert_assimilator(_sd(data), num_blocks=int(num_blocks))
+    n_obs = data["__obs_llh__"].shape[0]
+    ref_tree = jax.tree_util.tree_structure(
+        model.init(jax.random.PRNGKey(0), num_obs=n_obs)
+    )
+    assert jax.tree_util.tree_structure(params) == ref_tree
+
+    out = np.asarray(
+        model.apply(params, data["__features__"], data["__obs_llh__"])
+    )
+    expected = data["__output__"].reshape(out.shape)
+    per_var_rmse = np.sqrt(((out - expected) ** 2).mean(axis=(0, 1)))
+    assert per_var_rmse.max() < 1e-5, per_var_rmse
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_golden("regional_small.npz")),
+    reason="golden not generated",
+)
+def test_regional_matches_torch_reference_golden():
+    """RegionalForecaster parity (reference regional_forecast.py:133),
+    plain and with boundary nudging."""
+    from graph_weather_tpu.convert import convert_regional
+    from graph_weather_tpu.models.regional import (
+        RegionalForecaster,
+        RegionalForecasterConfig,
+    )
+
+    data = np.load(_golden("regional_small.npz"))
+    (resolution, feature_dim, aux_dim, node_dim, edge_dim, num_blocks,
+     hidden, hid_dec, nudging, nudge_hid) = data["__config__"]
+    lat_lons = [tuple(p) for p in data["__lat_lons__"]]
+    model = RegionalForecaster(
+        RegionalForecasterConfig(
+            resolution=int(resolution),
+            feature_dim=int(feature_dim),
+            aux_dim=int(aux_dim),
+            node_dim=int(node_dim),
+            edge_dim=int(edge_dim),
+            num_blocks=int(num_blocks),
+            hidden_dim_processor_node=int(hidden),
+            hidden_dim_processor_edge=int(hidden),
+            hidden_dim_decoder=int(hid_dec),
+            enable_nudging=bool(nudging),
+            nudging_hidden_dim=int(nudge_hid),
+        )
+    )
+    params = convert_regional(
+        _sd(data), num_blocks=int(num_blocks), enable_nudging=bool(nudging)
+    )
+    ref_tree = jax.tree_util.tree_structure(
+        model.init(jax.random.PRNGKey(0), lat_lons)
+    )
+    assert jax.tree_util.tree_structure(params) == ref_tree
+
+    out = np.asarray(model.apply(params, data["__features__"], lat_lons))
+    per_var_rmse = np.sqrt(
+        ((out - data["__output__"]) ** 2).mean(axis=(0, 1))
+    )
+    assert per_var_rmse.max() < 1e-5, per_var_rmse
+
+    out_n = np.asarray(
+        model.apply(
+            params,
+            data["__features__"],
+            lat_lons,
+            global_context=data["__global_context__"],
+        )
+    )
+    per_var_rmse = np.sqrt(
+        ((out_n - data["__output_nudged__"]) ** 2).mean(axis=(0, 1))
     )
     assert per_var_rmse.max() < 1e-5, per_var_rmse
