@@ -1,22 +1,41 @@
-"""Benchmark suite: one JSON line per metric, headline metric LAST.
+"""Benchmark suite: one JSON line per metric; headline runs FIRST and its
+line is RE-EMITTED last (the driver parses the final JSON line).
 
-Each metric runs in its own subprocess (clean HBM, isolated failures) and
-prints {"metric", "value", "unit", "vs_baseline"}. The final line is the
-headline forecast steps/sec metric the driver has tracked since round 1.
+Robustness contract (round-3 rework, after BENCH_r02 was truncated at
+rc=124):
+  - the HEADLINE metric (forecast steps/sec at 1 deg, tracked since round
+    1) runs first so it is always captured, and is printed again as the
+    final line so last-line parsers keep tracking it;
+  - a total time budget (env BENCH_BUDGET_S, default 2700 s) is enforced
+    by the parent: each metric has a cost estimate and is skipped (with a
+    stderr note) when the remaining budget cannot cover it;
+  - each metric runs in its own subprocess (clean HBM, isolated failures)
+    and is retried ONCE on nonzero exit (transient axon-tunnel
+    FAILED_PRECONDITION errors) when the budget allows;
+  - subprocesses inherit a persistent JAX compilation cache dir so warm
+    runs skip the remote-compile cost.
 
-Metrics (config sources: BASELINE.md round-1 measurements):
-  - gencast_denoiser_fwd_ms_splits5   128x64 grid, 512-d, 16 blocks,
-    splits 5 / hops 4, clustered_flash, bf16 (r1: 27.9 ms banded_flash)
-  - gencast_denoiser_fwd_ms_splits6   production scale, splits 6 / hops 6
-    (40,962 mesh nodes, 5.16M k-hop edges)  (r1: 178.7 ms)
-  - gencast_sampler_20step_ms         full DPMSolver++2S, 37 denoiser
-    evals, splits 5, bf16 (r1: 941 ms)
-  - assimilator_fwd_ms                4,096 obs -> 64,800-node analysis
-    grid, dim 24 (r1: 27.1 ms)
-  - forecast_train_step_ms_1deg       fwd+bwd+AdamW, batch 1 (r1: 121 ms)
-  - forecast_fwd_loss_steps_per_sec_1deg  HEADLINE (r1: 36.255 steps/s)
+Metrics (baselines = first honest-harness measurement, BASELINE.md):
+  forecast_fwd_loss_steps_per_sec_1deg  HEADLINE (r1: 36.255 steps/s)
+  gencast_denoiser_fwd_ms_splits6       production scale, 40,962 mesh
+                                        nodes, 5.16M k-hop edges (r1: 178.7)
+  gencast_denoiser_train_ms_splits6     fwd+bwd+AdamW at production scale
+                                        (r2 anchor: 374.6 ms)
+  gencast_denoiser_train_ms_splits5     (r2 anchor: 87.7 ms)
+  gencast_sampler_20step_ms             37 denoiser evals, splits 5 (r1: 941)
+  gencast_denoiser_fwd_ms_splits5       (r1: 27.9 ms)
+  forecast_fwd_ms_quarter_deg_chip_slice  one device's share of the 8-way
+                                        0.25 deg run: 129,600 grid nodes +
+                                        full res-3 mesh (r2 anchor: 139.5)
+  gencast_denoiser_batch4_ms_per_sample batch-scaling probe (r2: 23.5)
+  assimilator_fwd_ms                    4,096 obs -> 1 deg analysis (r1: 27.1)
+  forecast_train_step_ms_1deg           fwd+bwd+AdamW, batch 1 (r1: 121)
+  fgn_member_fwd_ms                     reference scale 768-d/24-block,
+                                        splits 6 (r2 anchor: 177.0)
+  weathermesh_fwd_ms_1deg               1 deg, 13 levels, 128-d latent
+                                        (r2 anchor: 1041 f32)
 
-vs_baseline > 1 always means "better than round 1" (ratio is inverted for
+vs_baseline > 1 always means "better than the anchor" (ratio inverted for
 ms metrics). --quick runs a cut-down subset on tiny grids.
 """
 
@@ -30,19 +49,22 @@ import time
 
 import numpy as np
 
-# Round-1 single-v5e measurements (BASELINE.md) used as the fixed baseline
-# for the ms metrics; the headline steps/sec metric reads the previous
-# round's BENCH_r*.json instead (relative tracking, as in round 1).
-R1_BASELINE_MS = {
+HEADLINE = "forecast_fwd_loss_steps_per_sec_1deg"
+
+# Anchor measurements (BASELINE.md): the first honest-harness number for
+# each metric. vs_baseline = anchor / value for ms metrics.
+BASELINE_MS = {
     "gencast_denoiser_fwd_ms_splits5": 27.9,
     "gencast_denoiser_fwd_ms_splits6": 178.7,
     "gencast_sampler_20step_ms": 941.0,
     "assimilator_fwd_ms": 27.1,
     "forecast_train_step_ms_1deg": 121.0,
-    # anchor: first measurement under the hardened harness (late round 2,
-    # single-pass fwd+bwd kernels); earlier "75.2 ms" used the unreliable
-    # naive loop and is not comparable.
     "gencast_denoiser_train_ms_splits5": 87.7,
+    "gencast_denoiser_train_ms_splits6": 374.6,
+    "forecast_fwd_ms_quarter_deg_chip_slice": 139.5,
+    "gencast_denoiser_batch4_ms_per_sample": 23.5,
+    "fgn_member_fwd_ms": 177.0,
+    "weathermesh_fwd_ms_1deg": 1041.0,
 }
 
 
@@ -99,6 +121,37 @@ def _time_ms(body, n_iter: int, args=()) -> float:
     return (time.perf_counter() - t0 - overhead) / n_iter * 1000.0
 
 
+def _time_train_ms(step, params, opt_state, n_iter: int, *batch) -> float:
+    """Chained real optimization steps (params feed forward), per _time_ms
+    rules; `step(params, opt_state, *batch_with_seeded_input) -> (p, o,
+    loss)`. batch[0] gets the seed injected at [0, 0, ..., 0]."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def scan_fn(seed, params, opt_state, *b):
+        def one(carry, _):
+            p, o, s = carry
+            first = b[0].at[(0,) * b[0].ndim].set(s)
+            p, o, loss = step(p, o, first, *b[1:])
+            return (p, o, loss.astype(jnp.float32)), ()
+
+        (p, o, s), _ = jax.lax.scan(
+            one, (params, opt_state, seed), None, length=n_iter
+        )
+        return s
+
+    _fetch(scan_fn(jnp.float32(0.0), params, opt_state, *batch))
+    triv = jax.jit(lambda s: s + 1.0)
+    _fetch(triv(jnp.float32(0.5)))
+    t0 = time.perf_counter()
+    _fetch(triv(jnp.float32(1.5)))
+    overhead = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _fetch(scan_fn(jnp.float32(1.0), params, opt_state, *batch))
+    return (time.perf_counter() - t0 - overhead) / n_iter * 1000.0
+
+
 def _emit(metric: str, value: float, unit: str, vs_baseline: float, **detail):
     import jax
 
@@ -118,16 +171,12 @@ def _emit(metric: str, value: float, unit: str, vs_baseline: float, **detail):
 
 
 def _ms_metric(metric: str, value_ms: float, **detail):
-    base = R1_BASELINE_MS.get(metric)
+    base = BASELINE_MS.get(metric)
     vs = (base / value_ms) if base else 1.0
     _emit(metric, value_ms, "ms", vs, **detail)
 
 
-# --------------------------------------------------------------------------
-# individual metrics (each runs in a fresh subprocess)
-
-
-def metric_denoiser(splits: int, hops: int, quick: bool):
+def _make_denoiser(quick, splits, hops, batch=1):
     import jax
     import jax.numpy as jnp
 
@@ -153,10 +202,27 @@ def metric_denoiser(splits: int, hops: int, quick: bool):
         attention_impl="clustered_flash",
     )
     params = den.init(jax.random.PRNGKey(0))
+    corrupted = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, nlon, nlat, f_out)
+    )
+    prev = jax.random.normal(
+        jax.random.PRNGKey(2), (batch, nlon, nlat, 2 * f_in)
+    )
+    noise = jnp.full((batch, 1), 1.0)
+    return den, params, corrupted, prev, noise, nlon, nlat, f_out
+
+
+# --------------------------------------------------------------------------
+# individual metrics (each runs in a fresh subprocess)
+
+
+def metric_denoiser(splits: int, hops: int, quick: bool):
+    import jax.numpy as jnp
+
+    den, params, corrupted, prev, noise, nlon, nlat, _ = _make_denoiser(
+        quick, splits, hops
+    )
     fwd = den.forward_fn(compute_dtype=jnp.bfloat16)
-    corrupted = jax.random.normal(jax.random.PRNGKey(1), (1, nlon, nlat, f_out))
-    prev = jax.random.normal(jax.random.PRNGKey(2), (1, nlon, nlat, 2 * f_in))
-    noise = jnp.full((1, 1), 1.0)
 
     def body(c, params, corrupted, prev, noise):
         return fwd(params, corrupted.at[0, 0, 0, 0].set(c), prev, noise)
@@ -174,35 +240,45 @@ def metric_denoiser(splits: int, hops: int, quick: bool):
     )
 
 
+def metric_denoiser_batch4(quick: bool):
+    """Batch-scaling probe: per-sample forward ms at batch 4, splits 5."""
+    import jax.numpy as jnp
+
+    batch = 2 if quick else 4
+    den, params, corrupted, prev, noise, nlon, nlat, _ = _make_denoiser(
+        quick, 5, 4, batch=batch
+    )
+    fwd = den.forward_fn(compute_dtype=jnp.bfloat16)
+
+    def body(c, params, corrupted, prev, noise):
+        return fwd(params, corrupted.at[0, 0, 0, 0].set(c), prev, noise)
+
+    ms = _time_ms(
+        body, 5 if quick else 15, args=(params, corrupted, prev, noise)
+    )
+    _ms_metric(
+        "gencast_denoiser_batch4_ms_per_sample" + ("_quick" if quick else ""),
+        ms / batch,
+        grid=f"{nlon}x{nlat}",
+        batch=batch,
+        total_ms=round(ms, 3),
+        dtype="bfloat16",
+        attention_impl="clustered_flash",
+    )
+
+
 def metric_sampler(quick: bool):
     import jax
     import jax.numpy as jnp
 
-    from graph_weather_tpu.models.gencast import Denoiser, Sampler
+    from graph_weather_tpu.models.gencast import Sampler
 
-    if quick:
-        nlon, nlat, hid, blocks, splits, hops = 32, 16, 64, 4, 2, 2
-        f_in, f_out, steps = 8, 4, 4
-    else:
-        nlon, nlat, hid, blocks, splits, hops = 128, 64, 512, 16, 5, 4
-        f_in, f_out, steps = 89, 83, 20
-    den = Denoiser(
-        grid_lon=np.arange(0.0, 360.0, 360.0 / nlon),
-        grid_lat=np.linspace(-90.0, 90.0, nlat),
-        input_features_dim=f_in,
-        output_features_dim=f_out,
-        hidden_dims=(hid, hid),
-        num_blocks=blocks,
-        num_heads=4,
-        splits=splits,
-        num_hops=hops,
-        use_edges_features=False,
-        attention_impl="clustered_flash",
+    steps = 4 if quick else 20
+    den, params, corrupted, prev, noise, nlon, nlat, _ = _make_denoiser(
+        quick, 5, 4
     )
-    params = den.init(jax.random.PRNGKey(0))
     sampler = Sampler(num_steps=steps)
     fn = sampler.sample_fn(den, compute_dtype=jnp.bfloat16)
-    prev = jax.random.normal(jax.random.PRNGKey(2), (1, nlon, nlat, 2 * f_in))
     key = jax.random.PRNGKey(3)
 
     def body(c, params, key, prev):
@@ -218,75 +294,38 @@ def metric_sampler(quick: bool):
     )
 
 
-def metric_gencast_train(quick: bool):
+def metric_gencast_train(splits: int, hops: int, quick: bool):
     """Denoiser TRAIN step (fwd+bwd+AdamW) with the clustered flash
-    backward kernel, splits 5 — the diffusion training workload."""
-    import jax
+    backward kernel — the diffusion training workload."""
     import jax.numpy as jnp
 
-    from graph_weather_tpu.models.gencast import Denoiser
     from graph_weather_tpu.train import make_optimizer, make_train_step
 
-    if quick:
-        nlon, nlat, hid, blocks, splits, hops = 32, 16, 64, 4, 2, 2
-        f_in, f_out = 8, 4
-    else:
-        nlon, nlat, hid, blocks, splits, hops = 128, 64, 512, 16, 5, 4
-        f_in, f_out = 89, 83
-    den = Denoiser(
-        grid_lon=np.arange(0.0, 360.0, 360.0 / nlon),
-        grid_lat=np.linspace(-90.0, 90.0, nlat),
-        input_features_dim=f_in,
-        output_features_dim=f_out,
-        hidden_dims=(hid, hid),
-        num_blocks=blocks,
-        num_heads=4,
-        splits=splits,
-        num_hops=hops,
-        use_edges_features=False,
-        attention_impl="clustered_flash",
+    den, params, corrupted, prev, noise, nlon, nlat, f_out = _make_denoiser(
+        quick, splits, hops
     )
-    params = den.init(jax.random.PRNGKey(0))
+    import jax
+
     fwd = den.forward_fn(compute_dtype=jnp.bfloat16)
     optimizer = make_optimizer(learning_rate=1e-4)
     opt_state = optimizer.init(params)
-    corrupted = jax.random.normal(jax.random.PRNGKey(1), (1, nlon, nlat, f_out))
-    prev = jax.random.normal(jax.random.PRNGKey(2), (1, nlon, nlat, 2 * f_in))
-    noise = jnp.full((1, 1), 1.0)
     target = jax.random.normal(jax.random.PRNGKey(3), (1, nlon, nlat, f_out))
 
     def loss_fn(pred, tgt):
         return jnp.mean((pred - tgt) ** 2)
 
-    step = make_train_step(fwd, loss_fn, optimizer)
-    n_iter = 3 if quick else 12
-    import time as _time
+    base_step = make_train_step(fwd, loss_fn, optimizer)
 
-    @jax.jit
-    def scan_fn(seed, params, opt_state):
-        def one(carry, _):
-            p, o, s = carry
-            p, o, loss = step(
-                p, o, corrupted.at[0, 0, 0, 0].set(s), prev, noise, target
-            )
-            return (p, o, loss.astype(jnp.float32)), ()
+    def step(p, o, corrupted, prev, noise, target):
+        return base_step(p, o, corrupted, prev, noise, target)
 
-        (p, o, s), _ = jax.lax.scan(
-            one, (params, opt_state, seed), None, length=n_iter
-        )
-        return s
-
-    _fetch(scan_fn(jnp.float32(0.0), params, opt_state))
-    triv = jax.jit(lambda s: s + 1.0)
-    _fetch(triv(jnp.float32(0.5)))
-    t0 = _time.perf_counter()
-    _fetch(triv(jnp.float32(1.5)))
-    overhead = _time.perf_counter() - t0
-    t0 = _time.perf_counter()
-    _fetch(scan_fn(jnp.float32(1.0), params, opt_state))
-    ms = (_time.perf_counter() - t0 - overhead) / n_iter * 1000.0
+    ms = _time_train_ms(
+        step, params, opt_state, 3 if quick else 10,
+        corrupted, prev, noise, target,
+    )
     _ms_metric(
-        "gencast_denoiser_train_ms_splits5" + ("_quick" if quick else ""),
+        f"gencast_denoiser_train_ms_splits{splits}"
+        + ("_quick" if quick else ""),
         ms,
         grid=f"{nlon}x{nlat}",
         dtype="bfloat16",
@@ -322,6 +361,7 @@ def metric_assimilator(quick: bool):
         ),
         jnp.float32,
     )
+
     def body(c, params, feats, obs):
         return fwd(params, feats.at[0, 0, 0].set(c), obs)
 
@@ -336,6 +376,7 @@ def metric_assimilator(quick: bool):
 
 def metric_train_step(quick: bool):
     import jax
+    import jax.numpy as jnp
 
     from graph_weather_tpu import GraphWeatherForecaster, NormalizedMSELoss
     from graph_weather_tpu.train import make_optimizer, make_train_step
@@ -346,39 +387,11 @@ def metric_train_step(quick: bool):
     params = model.init(jax.random.PRNGKey(0))
     loss_obj = NormalizedMSELoss(np.ones(78), lat_lons, normalize=True)
     optimizer = make_optimizer(learning_rate=1e-3)
-    import jax.numpy as jnp
-    import time as _time
-
     step = make_train_step(model.forward_fn(), loss_obj, optimizer)
     opt_state = optimizer.init(params)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, len(lat_lons), 102))
     y = jax.random.normal(jax.random.PRNGKey(2), (1, len(lat_lons), 78))
-    n_iter = 5 if quick else 20
-
-    # Chained real optimization steps: each iteration's params depend on
-    # the previous one, so no dispatch/result caching can shortcut it
-    # (see _time_ms for the axon timing rules this follows).
-    @jax.jit
-    def scan_fn(seed, params, opt_state, x, y):
-        def one(carry, _):
-            p, o, s = carry
-            p, o, loss = step(p, o, x.at[0, 0, 0].set(s), y)
-            return (p, o, loss.astype(jnp.float32)), ()
-
-        (p, o, s), _ = jax.lax.scan(
-            one, (params, opt_state, seed), None, length=n_iter
-        )
-        return s
-
-    _fetch(scan_fn(jnp.float32(0.0), params, opt_state, x, y))
-    triv = jax.jit(lambda s: s + 1.0)
-    _fetch(triv(jnp.float32(0.5)))
-    t0 = _time.perf_counter()
-    _fetch(triv(jnp.float32(1.5)))
-    overhead = _time.perf_counter() - t0
-    t0 = _time.perf_counter()
-    _fetch(scan_fn(jnp.float32(1.0), params, opt_state, x, y))
-    ms = (_time.perf_counter() - t0 - overhead) / n_iter * 1000.0
+    ms = _time_train_ms(step, params, opt_state, 5 if quick else 20, x, y)
     _ms_metric(
         "forecast_train_step_ms_1deg" + ("_quick" if quick else ""),
         ms,
@@ -388,11 +401,204 @@ def metric_train_step(quick: bool):
     )
 
 
-def metric_headline(quick: bool):
+def metric_quarter_slice(quick: bool):
+    """One device's share of the 8-way-sharded 0.25 deg forecaster step:
+    129,600 grid nodes (per-point edge counts are uniform) + the FULL
+    res-3 latent mesh, bf16 — the per-chip compute of the v5p-8
+    north-star minus collectives (scripts/bench_quarter_degree.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graph_weather_tpu import GraphWeatherForecaster
+
+    if quick:
+        lats = np.arange(-90.0, 90.0, 4.0)
+        lons = np.arange(0.0, 360.0, 8.0)
+        resolution = 2
+    else:
+        lats = np.arange(-90.0, 90.0, 0.25)
+        lons = np.arange(0.0, 360.0, 2.0)  # 720 x 180 = 129,600 nodes
+        resolution = 3
+    lat_lons = [(float(a), float(b)) for a in lats for b in lons]
+    model = GraphWeatherForecaster(
+        lat_lons, feature_dim=78, aux_dim=24, resolution=resolution
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    base_fwd = model.forward_fn()
+
+    def fwd(params, feats):
+        p16 = jax.tree_util.tree_map(
+            lambda t: t.astype(jnp.bfloat16)
+            if jnp.issubdtype(t.dtype, jnp.floating)
+            else t,
+            params,
+        )
+        return base_fwd(p16, feats.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    f = jax.jit(fwd)
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (1, len(lat_lons), 102), jnp.float32
+    )
+
+    def body(c, params, x):
+        return f(params, x.at[0, 0, 0].set(c))
+
+    ms = _time_ms(body, 3 if quick else 10, args=(params, x))
+    _ms_metric(
+        "forecast_fwd_ms_quarter_deg_chip_slice" + ("_quick" if quick else ""),
+        ms,
+        grid_nodes=len(lat_lons),
+        mesh_resolution=resolution,
+        dtype="bfloat16",
+    )
+
+
+def metric_fgn(quick: bool):
+    """FGN single-member forward at reference scale (768-d, 24 blocks,
+    splits 6; reference models/fgn/model.py:67-83)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graph_weather_tpu.models.fgn import FunctionalGenerativeNetwork
+
+    if quick:
+        nlon, nlat, hid, blocks, splits, hops = 32, 16, 64, 4, 2, 2
+        f_in, f_out, zdim = 8, 4, 8
+    else:
+        nlon, nlat, hid, blocks, splits, hops = 128, 64, 768, 24, 6, 6
+        f_in, f_out, zdim = 89, 83, 32
+    fgn = FunctionalGenerativeNetwork(
+        grid_lon=np.arange(0.0, 360.0, 360.0 / nlon),
+        grid_lat=np.linspace(-90.0, 90.0, nlat),
+        input_features_dim=f_in,
+        output_features_dim=f_out,
+        noise_dimension=zdim,
+        hidden_dims=(hid, hid),
+        num_blocks=blocks,
+        splits=splits,
+        num_hops=hops,
+        use_edges_features=False,
+        attention_impl="clustered_flash",
+    )
+    params = fgn.init(jax.random.PRNGKey(0))
+    member = jax.jit(fgn.member_fn(compute_dtype=jnp.bfloat16))
+    prev = jax.random.normal(jax.random.PRNGKey(1), (1, nlon, nlat, 2 * f_in))
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, zdim))
+
+    def body(c, params, prev, z):
+        return member(params, prev.at[0, 0, 0, 0].set(c), z)
+
+    ms = _time_ms(body, 3 if quick else 10, args=(params, prev, z))
+    _ms_metric(
+        "fgn_member_fwd_ms" + ("_quick" if quick else ""),
+        ms,
+        grid=f"{nlon}x{nlat}",
+        hidden=hid,
+        num_blocks=blocks,
+        dtype="bfloat16",
+        attention_impl="clustered_flash",
+    )
+
+
+def metric_weathermesh(quick: bool):
+    """WeatherMesh forward at 1 deg / 13 pressure levels, bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from graph_weather_tpu.models.weathermesh import WeatherMeshConfig
+
+    if quick:
+        h, w, levels, latent = 32, 64, 4, 32
+    else:
+        h, w, levels, latent = 180, 360, 13, 128
+    cfg = WeatherMeshConfig(
+        timesteps=[6],
+        surface_channels=8,
+        pressure_channels=4,
+        pressure_levels=levels,
+        latent_dim=latent,
+        encoder_num_conv_blocks=2,
+        encoder_num_transformer_layers=2,
+        encoder_hidden_dim=64,
+        decoder_num_conv_blocks=2,
+        decoder_num_transformer_layers=2,
+        decoder_hidden_dim=64,
+        processor_num_layers=4,
+        kernel=(3, 5, 5),
+        num_heads=4,
+    )
+    model = cfg.build()
+    surface = jax.random.normal(jax.random.PRNGKey(1), (1, h, w, 8))
+    pressure = jax.random.normal(jax.random.PRNGKey(2), (1, levels, h, w, 4))
+    params = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), surface, pressure, 1)
+    )()
+
+    def to_bf16(t):
+        return (
+            t.astype(jnp.bfloat16)
+            if jnp.issubdtype(t.dtype, jnp.floating)
+            else t
+        )
+
+    @jax.jit
+    def fwd(params, surface, pressure):
+        p16 = jax.tree_util.tree_map(to_bf16, params)
+        out = model.apply(
+            p16, surface.astype(jnp.bfloat16), pressure.astype(jnp.bfloat16), 1
+        )
+        return out.surface.astype(jnp.float32)
+
+    def body(c, params, surface, pressure):
+        return fwd(params, surface.at[0, 0, 0, 0].set(c), pressure)
+
+    ms = _time_ms(body, 3 if quick else 10, args=(params, surface, pressure))
+    _ms_metric(
+        "weathermesh_fwd_ms_1deg" + ("_quick" if quick else ""),
+        ms,
+        grid=f"{h}x{w}",
+        pressure_levels=levels,
+        latent_dim=latent,
+        kernel=[3, 5, 5],
+        dtype="bfloat16",
+    )
+
+
+def _previous_headline():
+    """Previous round's headline value, searched across BENCH_r*.json
+    (the parsed field may track a different metric when a round was
+    truncated — fall back to scanning the tail text)."""
     import glob
     import re
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+        reverse=True,
+    )
+    for path in rounds:
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        parsed = data.get("parsed") or {}
+        if parsed.get("metric") == HEADLINE:
+            return parsed.get("value")
+        for line in (data.get("tail") or "").splitlines():
+            line = line.strip()
+            if line.startswith("{") and f'"{HEADLINE}"' in line:
+                try:
+                    return json.loads(line)["value"]
+                except Exception:
+                    pass
+    return None
+
+
+def metric_headline(quick: bool):
     import jax
+    import jax.numpy as jnp
 
     from graph_weather_tpu import GraphWeatherForecaster, NormalizedMSELoss
 
@@ -421,21 +627,9 @@ def metric_headline(quick: bool):
 
     ms = _time_ms(body, n_iter, args=(params, x, y))
     steps_per_sec = 1000.0 / ms
-
-    prev = None
-    rounds = sorted(
-        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
-    )
-    if rounds:
-        try:
-            with open(rounds[-1]) as f:
-                data = json.load(f)
-            prev = (data.get("parsed") or data).get("value")
-        except Exception:
-            prev = None
+    prev = _previous_headline()
     _emit(
-        "forecast_fwd_loss_steps_per_sec_1deg" + ("_quick4deg" if quick else ""),
+        HEADLINE + ("_quick4deg" if quick else ""),
         steps_per_sec,
         "steps/sec",
         (steps_per_sec / prev) if prev else 1.0,
@@ -448,14 +642,38 @@ def metric_headline(quick: bool):
 
 
 METRICS = {
+    "headline": metric_headline,
     "denoiser_s5": lambda quick: metric_denoiser(5, 4, quick),
     "denoiser_s6": lambda quick: metric_denoiser(6, 6, quick),
-    "gencast_train": metric_gencast_train,
+    "gencast_train": lambda quick: metric_gencast_train(5, 4, quick),
+    "gencast_train_s6": lambda quick: metric_gencast_train(6, 6, quick),
     "sampler": metric_sampler,
     "assimilator": metric_assimilator,
     "train_step": metric_train_step,
-    "headline": metric_headline,
+    "quarter_slice": metric_quarter_slice,
+    "denoiser_batch4": metric_denoiser_batch4,
+    "fgn": metric_fgn,
+    "weathermesh": metric_weathermesh,
 }
+
+# (name, cold-cost estimate seconds). Order = priority; the parent skips
+# a metric when the remaining budget can't cover its estimate. Estimates
+# include subprocess startup + graph build + remote compile (cold cache).
+FULL_ORDER = [
+    ("headline", 150),
+    ("denoiser_s6", 420),
+    ("gencast_train_s6", 540),
+    ("gencast_train", 300),
+    ("sampler", 300),
+    ("denoiser_s5", 180),
+    ("quarter_slice", 300),
+    ("denoiser_batch4", 240),
+    ("assimilator", 150),
+    ("train_step", 180),
+    ("fgn", 420),
+    ("weathermesh", 240),
+]
+QUICK_ORDER = [("headline", 120), ("denoiser_s5", 120)]
 
 
 def main() -> None:
@@ -468,40 +686,63 @@ def main() -> None:
         METRICS[which](quick)
         return
 
-    # Parent: run each metric in its own subprocess; forward its stdout
-    # JSON line(s). Headline runs last so the driver's single-line parse
-    # keeps tracking the round-1 metric.
-    if quick:
-        # Smoke subset: remote-tunnel compiles dominate quick runs, so two
-        # metrics keep it under ~5 minutes.
-        order = ["denoiser_s5", "headline"]
-    else:
-        order = [
-            "denoiser_s5", "denoiser_s6", "gencast_train", "sampler",
-            "assimilator", "train_step", "headline",
-        ]
-    for name in order:
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+    deadline = time.time() + budget
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_gwtpu")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+    headline_line = None
+
+    def run_one(name: str, est: float) -> str | None:
+        """Run one metric subprocess (one retry); returns its JSON line."""
+        nonlocal headline_line
         cmd = [sys.executable, os.path.abspath(__file__), f"--metric={name}"]
         if quick:
             cmd.append("--quick")
-        try:
-            proc = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=2400
-            )
-            wrote = False
-            for line in proc.stdout.splitlines():
-                line = line.strip()
-                if line.startswith("{"):
-                    print(line, flush=True)
-                    wrote = True
-            if proc.returncode != 0 or not wrote:
+        for attempt in (1, 2):
+            remaining = deadline - time.time()
+            if remaining < min(est, 120):
                 sys.stderr.write(
-                    f"[bench] metric {name} failed rc={proc.returncode}:\n"
-                    + proc.stderr[-2000:]
-                    + "\n"
+                    f"[bench] skipping {name} (attempt {attempt}): "
+                    f"{remaining:.0f}s left < est {est:.0f}s\n"
                 )
-        except subprocess.TimeoutExpired:
-            sys.stderr.write(f"[bench] metric {name} timed out\n")
+                return None
+            try:
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True,
+                    timeout=max(min(remaining - 30, 1500), 60), env=env,
+                )
+            except subprocess.TimeoutExpired:
+                sys.stderr.write(f"[bench] {name} timed out (attempt {attempt})\n")
+                continue
+            lines = [
+                ln.strip()
+                for ln in proc.stdout.splitlines()
+                if ln.strip().startswith("{")
+            ]
+            if proc.returncode == 0 and lines:
+                for ln in lines:
+                    print(ln, flush=True)
+                    if f'"{HEADLINE}' in ln:
+                        headline_line = ln
+                return lines[-1]
+            sys.stderr.write(
+                f"[bench] metric {name} failed rc={proc.returncode} "
+                f"(attempt {attempt}):\n" + proc.stderr[-2000:] + "\n"
+            )
+        return None
+
+    order = QUICK_ORDER if quick else FULL_ORDER
+    for name, est in order:
+        run_one(name, est)
+
+    # Re-emit the headline as the FINAL line so last-line parsers track it
+    # even though it ran first (and is captured early if the run is cut).
+    if headline_line is not None:
+        print(headline_line, flush=True)
+    elif not quick:
+        sys.stderr.write("[bench] headline metric missing from this run\n")
 
 
 if __name__ == "__main__":

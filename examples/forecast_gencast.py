@@ -81,9 +81,13 @@ def main():
     log.info("compiled + first member in %.1f s", time.time() - t0)
 
     t0 = time.time()
-    # Ensemble = vmap over member keys; each member is a full trajectory.
+    # Ensemble = lax.map over member keys (sequential members inside one
+    # program). NOT vmap: vmapping the rollout routes the clustered flash
+    # kernel through the Pallas batching rule, which broadcasts the
+    # batch-shared mask/ids operands per member (~2x slower per sample and
+    # tens of MB of duplicated masks at production scale).
     ens = jax.block_until_ready(
-        jax.vmap(lambda k: rollout(params, k, prev))(keys)
+        jax.jit(lambda ks: jax.lax.map(lambda k: rollout(params, k, prev), ks))(keys)
     )
     log.info(
         "ensemble %s members x %s AR steps (%s solver steps each): "
