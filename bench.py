@@ -32,6 +32,7 @@ Metrics (baselines = first honest-harness measurement, BASELINE.md):
   forecast_train_step_ms_1deg           fwd+bwd+AdamW, batch 1 (r1: 121)
   fgn_member_fwd_ms                     reference scale 768-d/24-block,
                                         splits 6 (r2 anchor: 177.0)
+  fgn_member_train_ms                   fwd+bwd+AdamW at the same scale
   weathermesh_fwd_ms_1deg               1 deg, 13 levels, 128-d latent
                                         (r2 anchor: 1041 f32)
 
@@ -499,6 +500,33 @@ def metric_fgn(quick: bool):
         attention_impl="clustered_flash",
     )
 
+    # TRAIN step at the same reference scale (CRPS-style training takes a
+    # gradient through single members; reference train loop analogue).
+    from graph_weather_tpu.train import make_optimizer, make_train_step
+
+    optimizer = make_optimizer(learning_rate=1e-4)
+    opt_state = optimizer.init(params)
+    target = jax.random.normal(jax.random.PRNGKey(3), (1, nlon, nlat, f_out))
+
+    def loss_fn(pred, tgt):
+        return jnp.mean((pred - tgt) ** 2)
+
+    step = make_train_step(fgn.member_fn(compute_dtype=jnp.bfloat16),
+                           loss_fn, optimizer)
+    ms = _time_train_ms(
+        step, params, opt_state, 2 if quick else 6, prev, z, target
+    )
+    _ms_metric(
+        "fgn_member_train_ms" + ("_quick" if quick else ""),
+        ms,
+        grid=f"{nlon}x{nlat}",
+        hidden=hid,
+        num_blocks=blocks,
+        dtype="bfloat16",
+        optimizer="adamw",
+        attention_impl="clustered_flash",
+    )
+
 
 def metric_weathermesh(quick: bool):
     """WeatherMesh forward at 1 deg / 13 pressure levels, bf16."""
@@ -670,7 +698,7 @@ FULL_ORDER = [
     ("denoiser_batch4", 240),
     ("assimilator", 150),
     ("train_step", 180),
-    ("fgn", 420),
+    ("fgn", 600),
     ("weathermesh", 240),
 ]
 QUICK_ORDER = [("headline", 120), ("denoiser_s5", 120)]

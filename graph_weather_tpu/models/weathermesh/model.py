@@ -10,9 +10,11 @@ here inside `lax.scan` instead of a Python loop
 
 TPU-native choices: channels-last layouts (XLA's native conv layout), the
 neighborhood attention from ops/neighborhood_attention.py instead of the
-natten CUDA kernels, GroupNorm instead of BatchNorm (no running-stats
-mutable state; batch-size independent — documented deviation), and
-half-pixel-centered resize (== torch align_corners=False).
+natten CUDA kernels (on TPU it auto-dispatches to the Pallas halo-in-VMEM
+kernel in ops/pallas/natten3d.py when the shape qualifies), GroupNorm
+instead of BatchNorm (no running-stats mutable state; batch-size
+independent — documented deviation), and half-pixel-centered resize
+(== torch align_corners=False).
 """
 
 from __future__ import annotations

@@ -52,8 +52,45 @@ def neighborhood_attention_3d(
     kernel: tuple[int, int, int],
     rpb: jnp.ndarray | None = None,  # [heads, 2Kd-1, 2Kh-1, 2Kw-1]
     circular_w: bool = False,
+    impl: str = "auto",
 ) -> jnp.ndarray:
-    """Returns [B, D, H, W, heads, ch]."""
+    """Returns [B, D, H, W, heads, ch].
+
+    impl: "auto" uses the Pallas halo-in-VMEM kernel on TPU when the
+    shape qualifies (heads*ch a multiple of 128 and the tile fits VMEM),
+    falling back to the XLA slot-scan; "pallas"/"xla" force a path. The
+    Pallas path's backward differentiates the XLA implementation (same
+    function), so gradients are exact either way.
+    """
+    if impl not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown impl {impl!r}")
+    if impl != "xla":
+        from graph_weather_tpu.ops.pallas.natten3d import (
+            neighborhood_attention_3d_pallas,
+        )
+
+        on_tpu = jax.default_backend() == "tpu"
+        try:
+            if impl == "pallas" or on_tpu:
+                return neighborhood_attention_3d_pallas(
+                    q, k, v, tuple(kernel), rpb, circular_w,
+                    interpret=not on_tpu,
+                )
+        except ValueError:
+            if impl == "pallas":
+                raise
+    return neighborhood_attention_3d_xla(q, k, v, kernel, rpb, circular_w)
+
+
+def neighborhood_attention_3d_xla(
+    q: jnp.ndarray,  # [B, D, H, W, heads, ch]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kernel: tuple[int, int, int],
+    rpb: jnp.ndarray | None = None,  # [heads, 2Kd-1, 2Kh-1, 2Kw-1]
+    circular_w: bool = False,
+) -> jnp.ndarray:
+    """XLA slot-scan implementation (O(volume) memory, differentiable)."""
     b, d, h, w, heads, ch = q.shape
     kd, kh, kw = kernel
     idx_d, rel_d = _window_indices(d, kd, False)
