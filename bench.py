@@ -6,7 +6,7 @@ rc=124):
   - the HEADLINE metric (forecast steps/sec at 1 deg, tracked since round
     1) runs first so it is always captured, and is printed again as the
     final line so last-line parsers keep tracking it;
-  - a total time budget (env BENCH_BUDGET_S, default 2700 s) is enforced
+  - a total time budget (env BENCH_BUDGET_S, default 2400 s) is enforced
     by the parent: each metric has a cost estimate and is skipped (with a
     stderr note) when the remaining budget cannot cover it;
   - each metric runs in its own subprocess (clean HBM, isolated failures)
@@ -699,7 +699,7 @@ FULL_ORDER = [
     ("assimilator", 150),
     ("train_step", 180),
     ("fgn", 600),
-    ("weathermesh", 240),
+    ("weathermesh", 600),
 ]
 QUICK_ORDER = [("headline", 120), ("denoiser_s5", 120)]
 
@@ -714,7 +714,7 @@ def main() -> None:
         METRICS[which](quick)
         return
 
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
     deadline = time.time() + budget
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_gwtpu")

@@ -122,35 +122,67 @@ def _natten_kernel(
             )
         return t
 
+    def dot32(a, b, exact, n_terms=3):
+        """f32-accurate matmul where the `exact` ("lhs"/"rhs") operand is
+        exactly bf16-representable (the 0/1 one-hot / block-diag matrices
+        here) and the OTHER operand is split into bf16 terms.
+
+        Mosaic supports only DEFAULT dot precision in-kernel (HIGH is
+        unimplemented, HIGHEST hangs the v5e compiler on this kernel).
+        Each split term's product against the exact operand accumulates
+        in f32 on the MXU; 3 terms recover ~24 mantissa bits (f32
+        inputs), 2 terms are EXACT for values that are products of two
+        bf16s (<= 16 mantissa bits — the q*k path with bf16 inputs,
+        matching CUDA natten's exact-half-product + f32-accumulate
+        semantics).
+        """
+
+        def split(t):
+            terms = []
+            r = t
+            for _ in range(n_terms - 1):
+                ti = r.astype(jnp.bfloat16)
+                terms.append(ti)
+                r = r - ti.astype(jnp.float32)
+            terms.append(r.astype(jnp.bfloat16))
+            return terms
+
+        dims = (((1,), (0,)), ((), ()))
+
+        def one(a_, b_):
+            return jax.lax.dot_general(
+                a_, b_, dims, preferred_element_type=jnp.float32
+            )
+
+        if a.dtype == jnp.bfloat16 and b.dtype == jnp.bfloat16:
+            return one(a, b)
+        if exact == "rhs":
+            b16 = b.astype(jnp.bfloat16)
+            return sum(one(ai, b16) for ai in split(a.astype(jnp.float32)))
+        a16 = a.astype(jnp.bfloat16)
+        return sum(one(a16, bi) for bi in split(b.astype(jnp.float32)))
+
     q = q_ref[0]
     ks = shifted(k_ref)
-    prod = q * ks  # input dtype (bf16 in the fast path, f32 exact)
+    in_bf16 = q.dtype == jnp.bfloat16
+    # Products in f32: exact for bf16 inputs (<= 16 mantissa bits), so a
+    # 2-term split recovers them losslessly through the bf16 MXU.
+    prod = q.astype(jnp.float32) * ks.astype(jnp.float32)
     hc = q.shape[-1]
     rows = d * h * tw
     # Per-head lane sums, replicated back over each head's lanes, in one
-    # block-diagonal MXU matmul.
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if prod.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
-    logits = jax.lax.dot_general(
-        prod.reshape(rows, hc),
-        ee_ref[...].astype(prod.dtype),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
+    # block-diagonal MXU matmul (exact: EE is 0/1).
+    logits = dot32(
+        prod.reshape(rows, hc), ee_ref[...], "rhs",
+        n_terms=2 if in_bf16 else 3,
     ).reshape(d, h, tw, hc)
 
     if has_bias:
         cls = qcls_ref.shape[-1]
-        bias = jax.lax.dot_general(
-            qcls_ref[0].reshape(rows, cls),
-            wcls_ref[0],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        ).reshape(d, h, tw, hc)
+        # qcls is 0/1 (exact); wcls carries the f32 rpb values.
+        bias = dot32(qcls_ref[0].reshape(rows, cls), wcls_ref[0], "lhs").reshape(
+            d, h, tw, hc
+        )
         logits = logits + bias
 
     vs = shifted(v_ref)
@@ -373,7 +405,11 @@ def _natten_fwd_impl(q, k, v, rpb, kernel, circular_w, tw, interpret):
             pltpu.VMEM((d, h, tw, hc), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # The default 16 MB scoped-vmem limit rejects useful tile
+            # sizes; v5e has 128 MB of VMEM. _pick_tw budgets ~20 MB of
+            # modeled working set (observed peak is ~2x the model).
+            vmem_limit_bytes=80 * 1024 * 1024,
         ),
         interpret=interpret,
     )(qt, kt, vt, qcls, wcls, ee)
@@ -386,7 +422,7 @@ def _natten_fwd_impl(q, k, v, rpb, kernel, circular_w, tw, interpret):
 def _pick_tw(w, d, h, kernel, hc, dt_bytes):
     """Largest w-tile (dividing w) whose working set fits VMEM."""
     kd, kh, kw = kernel
-    budget = 11 * 1024 * 1024
+    budget = 20 * 1024 * 1024
     cls_pad = max(128, -(-(kd * kh * kw) // 128) * 128)
     for tw in range(min(16, w), 0, -1):
         if w % tw:
