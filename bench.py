@@ -687,19 +687,22 @@ METRICS = {
 # (name, cold-cost estimate seconds). Order = priority; the parent skips
 # a metric when the remaining budget can't cover its estimate. Estimates
 # include subprocess startup + graph build + remote compile (cold cache).
+# Value-ordered: the headline plus the metrics that changed this round
+# run first; the budget loop skips a metric that no longer fits but keeps
+# trying the cheaper ones after it.
 FULL_ORDER = [
     ("headline", 150),
     ("denoiser_s6", 420),
     ("gencast_train_s6", 540),
-    ("gencast_train", 300),
+    ("weathermesh", 600),
     ("sampler", 300),
     ("denoiser_s5", 180),
     ("quarter_slice", 300),
+    ("gencast_train", 300),
     ("denoiser_batch4", 240),
+    ("fgn", 600),
     ("assimilator", 150),
     ("train_step", 180),
-    ("fgn", 600),
-    ("weathermesh", 600),
 ]
 QUICK_ORDER = [("headline", 120), ("denoiser_s5", 120)]
 
