@@ -113,7 +113,7 @@ def build_cluster_layout(
     n_receivers: int,
     n_senders: int,
     block: int = 512,
-    kt: int = 512,
+    kt: int = 128,
 ) -> ClusterLayout:
     """Build the gathered-neighbor layout for a destination-sorted graph.
 
@@ -140,6 +140,9 @@ def build_cluster_layout(
         np.unique(sb[bounds[b] : bounds[b + 1]]) for b in range(nb)
     ]
     u_max = max((len(u) for u in unions), default=1)
+    # Tight padding: the single-pass flash kernels need only 128-lane
+    # alignment; at GenCast splits 5 this is U_pad 768 vs 1024 (-25%
+    # gather/softmax work). The streaming fallbacks need kt=512.
     u_pad = max(-(-u_max // kt) * kt, kt)
 
     gather_ids = np.zeros((nb, u_pad), dtype=np.int32)

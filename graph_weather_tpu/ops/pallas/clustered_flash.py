@@ -104,7 +104,7 @@ def _fwd_kernel(
 
 
 def _fwd_kernel_onepass(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, *rest, n_ut, scale, c, with_lse
+    q_ref, k_ref, v_ref, mask_ref, o_ref, *rest, n_ut, kt, scale, c, with_lse
 ):
     """Single-pass (non-online) masked softmax: one head per grid step.
 
@@ -122,7 +122,7 @@ def _fwd_kernel_onepass(
         (s,) = rest
     t = pl.program_id(2)
 
-    s[:, pl.dslice(t * _KT, _KT)] = jax.lax.dot_general(
+    s[:, pl.dslice(t * kt, kt)] = jax.lax.dot_general(
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
@@ -372,6 +372,18 @@ def _gather_kv(t, gather_ids):
     return loc.reshape((b * gather_ids.shape[0],) + loc.shape[2:])
 
 
+def _pad_kt(gather_ids, masks, u_pad):
+    """Pad a tight (128-multiple) layout up to the next _KT multiple so
+    the streaming fallback kernels can tile it; padding ids point at row 0
+    with all-zero masks."""
+    target = -(-u_pad // _KT) * _KT
+    pad = target - u_pad
+    if pad:
+        gather_ids = jnp.pad(gather_ids, ((0, 0), (0, pad)))
+        masks = jnp.pad(masks, ((0, 0), (0, 0), (0, pad)))
+    return gather_ids, masks, target
+
+
 def _layout(q, k, v, block, nb):
     """Batch-folded layout: [B, n, h, c] inputs -> [B*nb, block, hc] query
     blocks + [B, n_kv, hc] flat key/value rows. The kernels' leading grid
@@ -399,9 +411,9 @@ def _layout(q, k, v, block, nb):
 
 def _clustered_impl(q, k, v, gather_ids, masks, block, interpret, with_lse):
     nb, u_pad = gather_ids.shape
-    if u_pad % _KT or block % 8:
+    if u_pad % 128 or block % 8:
         raise ValueError(
-            f"U_pad={u_pad} must be a multiple of {_KT} and "
+            f"U_pad={u_pad} must be a multiple of 128 and "
             f"block={block} a multiple of 8"
         )
     squeeze = q.ndim == 3
@@ -415,7 +427,10 @@ def _clustered_impl(q, k, v, gather_ids, masks, block, interpret, with_lse):
     k_loc = _gather_kv(k_f, gather_ids)  # [B*nb, U_pad, hc]
     v_loc = _gather_kv(v_f, gather_ids)
     masks8 = masks.astype(jnp.int8)
-    n_ut = u_pad // _KT
+    # Stream K in _KT tiles when U_pad allows; otherwise 128-lane tiles
+    # (tight non-512-multiple U_pad saves gather + softmax lanes).
+    kt_stream = _KT if u_pad % _KT == 0 else 128
+    n_ut = u_pad // kt_stream
     dt = q_p.dtype.itemsize
 
     # Single-pass kernel (one head per step, full logits row in scratch)
@@ -441,12 +456,12 @@ def _clustered_impl(q, k, v, gather_ids, masks, block, interpret, with_lse):
         res = pl.pallas_call(
             functools.partial(
                 _fwd_kernel_onepass,
-                n_ut=n_ut, scale=scale, c=c, with_lse=with_lse,
+                n_ut=n_ut, kt=kt_stream, scale=scale, c=c, with_lse=with_lse,
             ),
             grid=(bnb, h, n_ut),
             in_specs=[
                 pl.BlockSpec((1, block, c), lambda b, g, t: (b, 0, g)),
-                pl.BlockSpec((1, _KT, c), lambda b, g, t: (b, t, g)),
+                pl.BlockSpec((1, kt_stream, c), lambda b, g, t: (b, t, g)),
                 pl.BlockSpec((1, u_pad, c), lambda b, g, t: (b, 0, g)),
                 pl.BlockSpec((1, block, u_pad), lambda b, g, t: (b % nb, 0, 0)),
             ],
@@ -464,6 +479,14 @@ def _clustered_impl(q, k, v, gather_ids, masks, block, interpret, with_lse):
             out, lse = res, None
         out = out.reshape(bsz, n_pad, h, c)[:, :n, :, :c_true]
         return (out[0] if squeeze else out), lse
+
+    if u_pad % _KT:
+        # Too big for single-pass and tightly padded: widen to a _KT
+        # multiple for the streaming kernel (re-gather at padded width).
+        gather_ids, masks8, u_pad = _pad_kt(gather_ids, masks8, u_pad)
+        k_loc = _gather_kv(k_f, gather_ids)
+        v_loc = _gather_kv(v_f, gather_ids)
+        n_ut = u_pad // _KT
 
     def est(g):
         gc = g * c
@@ -564,7 +587,7 @@ def _clustered_bwd_impl(
     k_loc = _gather_kv(k_f, gather_ids)
     v_loc = _gather_kv(v_f, gather_ids)
     masks8 = masks.astype(jnp.int8)
-    n_ut = u_pad // _KT
+    n_ut = u_pad // _KT if u_pad % _KT == 0 else None
 
     onepass_bytes = (
         3 * block * c * dt * 2  # q, do, dq
@@ -605,6 +628,12 @@ def _clustered_bwd_impl(
             dq, dk_loc, dv_loc, gather_ids, bsz, n, n_kv, n_pad, nb, u_pad,
             h, c, c_true, hc, in_dtype, squeeze,
         )
+
+    if n_ut is None:
+        gather_ids, masks8, u_pad = _pad_kt(gather_ids, masks8, u_pad)
+        k_loc = _gather_kv(k_f, gather_ids)
+        v_loc = _gather_kv(v_f, gather_ids)
+        n_ut = u_pad // _KT
 
     def est(gs):
         gc = gs * c
