@@ -556,13 +556,77 @@ def convert_regional(
     return {"params": params}
 
 
+def _layer_norm_eps(sd, prefix):
+    return {
+        "scale": np.asarray(sd[f"{prefix}.weight"]),
+        "bias": np.asarray(sd[f"{prefix}.bias"]),
+    }
+
+
+def _fengwu_attention(sd, prefix):
+    """reference fengwu_ghr Attention (layers.py:63) -> our _Attention."""
+    return {
+        "LayerNorm_0": _layer_norm_eps(sd, f"{prefix}.norm"),
+        "TorchLinear_0": {
+            "kernel": np.ascontiguousarray(sd[f"{prefix}.to_qkv.weight"].T)
+        },
+        "TorchLinear_1": {
+            "kernel": np.ascontiguousarray(sd[f"{prefix}.to_out.weight"].T)
+        },
+    }
+
+
+def convert_fengwu_image_meta(sd: dict, depth: int, res: bool = False) -> dict:
+    """Reference fengwu_ghr ImageMetaModel state_dict (layers.py:151) ->
+    flax params for our ImageMetaModel (res=True adds the wrapper's
+    cross-window attention layers, layers.py:245)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = {
+        "LayerNorm_0": _layer_norm_eps(sd, "to_patch_embedding.1"),
+        "TorchLinear_0": _linear(sd, "to_patch_embedding.2"),
+        "LayerNorm_1": _layer_norm_eps(sd, "to_patch_embedding.3"),
+    }
+    tr = {"LayerNorm_0": _layer_norm_eps(sd, "transformer.norm")}
+    n_attn = 0
+    for i in range(depth):
+        tr[f"_Attention_{n_attn}"] = _fengwu_attention(
+            sd, f"transformer.layers.{i}.0"
+        )
+        n_attn += 1
+        tr[f"_FeedForward_{i}"] = {
+            "LayerNorm_0": _layer_norm_eps(sd, f"transformer.layers.{i}.1.net.0"),
+            "TorchLinear_0": _linear(sd, f"transformer.layers.{i}.1.net.1"),
+            "TorchLinear_1": _linear(sd, f"transformer.layers.{i}.1.net.3"),
+        }
+        if res:
+            # res_layers.{i} = [Rearrange, Attention, Rearrange]
+            tr[f"_Attention_{n_attn}"] = _fengwu_attention(
+                sd, f"transformer.res_layers.{i}.1"
+            )
+            n_attn += 1
+    params["Transformer_0"] = tr
+    return {"params": params}
+
+
+def convert_fengwu_wrapper(sd: dict, depth: int) -> dict:
+    """Reference WrapperImageModel/WrapperMetaModel state_dict (keys under
+    image_meta_model.*) -> our WrapperImageModel params."""
+    inner = {
+        k[len("image_meta_model."):]: v
+        for k, v in sd.items()
+        if k.startswith("image_meta_model.")
+    }
+    imm = convert_fengwu_image_meta(inner, depth, res=True)
+    return {"params": {"image_meta_model": imm["params"]}}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument(
         "--model",
         choices=[
             "forecaster", "denoiser", "genda", "fgn", "cafa", "aurora",
-            "assimilator", "regional",
+            "assimilator", "regional", "fengwu_ghr",
         ],
         required=True,
     )
@@ -607,6 +671,16 @@ def main():
         params = convert_aurora(sd, num_layers=layers)
     elif args.model == "assimilator":
         params = convert_assimilator(sd, num_blocks=nb or 9)
+    elif args.model == "fengwu_ghr":
+        depth = 1 + max(
+            int(k.split("transformer.layers.")[1].split(".")[0])
+            for k in sd
+            if "transformer.layers." in k
+        )
+        if any(k.startswith("image_meta_model.") for k in sd):
+            params = convert_fengwu_wrapper(sd, depth)
+        else:
+            params = convert_fengwu_image_meta(sd, depth)
     else:
         params = convert_regional(
             sd,

@@ -47,6 +47,12 @@ class GraphCastModule(nn.Module):
     norm_type: str = "LayerNorm"
     n_mesh: int = 5882
     checkpoint_strategy: str = "none"
+    # The reference GraphCast never forwards hidden_dim to its Decoder's
+    # output_edge_dim, which therefore stays at the Decoder default (256)
+    # even for small hidden dims (reference models/graphcast/model.py:97-111
+    # vs models/layers/decoder.py:31). None = hidden_dim (our default);
+    # set 256 to reproduce reference weights exactly.
+    decoder_edge_dim: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -93,7 +99,7 @@ class GraphCastModule(nn.Module):
         out = dec_cls(
             output_dim=self.output_dim,
             node_dim=self.hidden_dim,
-            edge_dim=self.hidden_dim,
+            edge_dim=self.decoder_edge_dim or self.hidden_dim,
             hidden_dim_processor_node=self.hidden_dim,
             hidden_dim_processor_edge=self.hidden_dim,
             hidden_layers_processor_node=self.hidden_layers,
@@ -124,11 +130,18 @@ class GraphCast:
         hidden_layers: int = 2,
         mlp_norm_type: str = "LayerNorm",
         checkpoint_strategy: str = "none",
+        latent_graph_order: str = "native",
+        decoder_edge_dim: Optional[int] = None,
     ):
         validate_lat_lons(lat_lons)
         if checkpoint_strategy not in CHECKPOINT_STRATEGIES:
             raise ValueError(
                 f"checkpoint_strategy must be one of {CHECKPOINT_STRATEGIES}"
+            )
+        if latent_graph_order not in ("native", "reference"):
+            raise ValueError(
+                f"latent_graph_order must be 'native' or 'reference', got "
+                f"{latent_graph_order!r}"
             )
         self.lat_lons = list(lat_lons)
         self.input_dim = input_dim
@@ -140,12 +153,23 @@ class GraphCast:
             num_processor_blocks=num_processor_blocks,
             hidden_layers=hidden_layers,
             norm_type=mlp_norm_type,
+            decoder_edge_dim=decoder_edge_dim,
         )
         mesh = get_hexmesh(resolution)
         self._module_kwargs["n_mesh"] = mesh.num_cells
         ll = np.asarray(self.lat_lons, dtype=np.float64)
         self.g2m = DeviceGraph.from_bundle(build_grid_to_mesh_graph(ll, mesh))
-        self.latent = DeviceGraph.from_bundle(build_latent_graph(mesh))
+        latent_bundle = build_latent_graph(mesh)
+        if latent_graph_order == "reference":
+            # Reproduce the reference's latent-row-reversal quirk so
+            # converted reference weights give the same net function (see
+            # forecast.reversal_conjugated_latent).
+            from graph_weather_tpu.models.forecast import (
+                reversal_conjugated_latent,
+            )
+
+            latent_bundle = reversal_conjugated_latent(latent_bundle)
+        self.latent = DeviceGraph.from_bundle(latent_bundle)
         self.m2g = DeviceGraph.from_bundle(build_mesh_to_grid_graph(ll, mesh))
         self.set_checkpoint_strategy(checkpoint_strategy)
 

@@ -659,8 +659,163 @@ def generate_regional(out_dir: str, cfg=REGIONAL_SMALL) -> str:
     return path
 
 
+GRAPHCAST_SMALL = dict(
+    lat_step=30.0,
+    lon_step=30.0,
+    input_dim=4,
+    output_dim=4,
+    hidden_dim=16,
+    num_processor_blocks=2,
+    hidden_layers=2,
+)
+
+
+def generate_graphcast(out_dir: str, cfg=GRAPHCAST_SMALL) -> str:
+    """Golden for GraphCast (reference models/graphcast/model.py:21) —
+    same encode-process-decode stack as the forecaster but with a uniform
+    hidden dim and the hierarchical-checkpointing handle. Checkpointing is
+    numerically transparent, so one golden covers all presets."""
+    from parity import ref_shims
+
+    ref_shims.install()
+    ref_shims.add_reference_to_path()
+    import torch
+
+    from graph_weather.models.graphcast import GraphCast as RefGraphCast
+
+    torch.manual_seed(0)
+    lat_lons = [
+        (float(a), float(b))
+        for a in np.arange(-90.0, 90.0, cfg["lat_step"])
+        for b in np.arange(0.0, 360.0, cfg["lon_step"])
+    ]
+    model = RefGraphCast(
+        lat_lons,
+        input_dim=cfg["input_dim"],
+        output_dim=cfg["output_dim"],
+        hidden_dim=cfg["hidden_dim"],
+        num_processor_blocks=cfg["num_processor_blocks"],
+        hidden_layers=cfg["hidden_layers"],
+    )
+    model.eval()
+    # Nonzero h3_nodes: the zero-init default would mask gather/order bugs.
+    with torch.no_grad():
+        model.encoder.h3_nodes.copy_(
+            torch.randn_like(model.encoder.h3_nodes) * 0.5
+        )
+
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal(
+        (2, len(lat_lons), cfg["input_dim"])
+    ).astype(np.float32)
+    with torch.no_grad():
+        y = model(torch.tensor(x)).numpy()
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "graphcast_small.npz")
+    np.savez_compressed(
+        path,
+        __input__=x,
+        __output__=y,
+        __config__=np.array(
+            [
+                cfg["lat_step"], cfg["lon_step"], cfg["input_dim"],
+                cfg["output_dim"], cfg["hidden_dim"],
+                cfg["num_processor_blocks"], cfg["hidden_layers"],
+            ],
+            dtype=np.float64,
+        ),
+        **_state_dict_np(model),
+    )
+    print(f"wrote {path}: output mean {y.mean():+.6f} std {y.std():.6f}")
+    return path
+
+
+FENGWU_SMALL = dict(
+    image_size=(8, 16),
+    patch_size=(2, 2),
+    depth=2,
+    heads=2,
+    mlp_dim=24,
+    channels=3,
+    dim_head=8,
+    scale_factor=2,
+)
+
+
+def generate_fengwu(out_dir: str, cfg=FENGWU_SMALL) -> str:
+    """Goldens for FengWu-GHR MetaModel (reference fengwu_ghr/layers.py:265)
+    and WrapperMetaModel (:311). lat_lons are integer-valued because the
+    reference truncates positions to torch.long (layers.py:281); both sides
+    then build identical scipy-kd-tree kNN assignments."""
+    from parity import ref_shims
+
+    ref_shims.install()
+    ref_shims.add_reference_to_path()
+    import torch
+
+    from graph_weather.models.fengwu_ghr.layers import (
+        MetaModel as RefMetaModel,
+        WrapperMetaModel as RefWrapperMetaModel,
+    )
+
+    torch.manual_seed(0)
+    lat_lons = [
+        (float(a), float(b))
+        for a in range(-90, 90, 15)
+        for b in range(0, 360, 15)
+    ]
+    model = RefMetaModel(
+        lat_lons,
+        image_size=cfg["image_size"],
+        patch_size=cfg["patch_size"],
+        depth=cfg["depth"],
+        heads=cfg["heads"],
+        mlp_dim=cfg["mlp_dim"],
+        channels=cfg["channels"],
+        dim_head=cfg["dim_head"],
+    )
+    model.eval()
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal(
+        (2, len(lat_lons), cfg["channels"])
+    ).astype(np.float32)
+    with torch.no_grad():
+        y = model(torch.tensor(x)).numpy()
+
+    wrapper = RefWrapperMetaModel(lat_lons, model, cfg["scale_factor"])
+    wrapper.eval()
+    with torch.no_grad():
+        y_wrap = wrapper(torch.tensor(x)).numpy()
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "fengwu_small.npz")
+    np.savez_compressed(
+        path,
+        __input__=x,
+        __output__=y,
+        __output_wrapper__=y_wrap,
+        __lat_lons__=np.asarray(lat_lons, dtype=np.float64),
+        __config__=np.array(
+            [
+                cfg["image_size"][0], cfg["image_size"][1],
+                cfg["patch_size"][0], cfg["patch_size"][1],
+                cfg["depth"], cfg["heads"], cfg["mlp_dim"],
+                cfg["channels"], cfg["dim_head"], cfg["scale_factor"],
+            ],
+            dtype=np.float64,
+        ),
+        **{f"imm.{k}": v for k, v in _state_dict_np(model).items()},
+        **{f"wrap.{k}": v for k, v in _state_dict_np(wrapper).items()},
+    )
+    print(f"wrote {path}: output mean {y.mean():+.6f} std {y.std():.6f}")
+    return path
+
+
 GENERATORS = {
     "forecaster": generate_forecaster,
+    "graphcast": generate_graphcast,
+    "fengwu_ghr": generate_fengwu,
     "gencast": generate_gencast,
     "fgn": generate_fgn,
     "genda": generate_genda,

@@ -131,7 +131,7 @@ def _make_torch_geometric():
                 s.to(device)
             return self
 
-    def knn(x, y, k, batch_x=None, batch_y=None):
+    def knn(x, y, k, batch_x=None, batch_y=None, num_workers=1):
         """For each y[i], its k nearest x — returns [2, k*len(y)] of
         (y_index, x_index) pairs, matching PyG's knn output layout."""
         from scipy.spatial import cKDTree

@@ -68,6 +68,56 @@ def test_forecaster_matches_torch_reference_golden():
     assert err.max() < 1e-4, err.max()
 
 
+GRAPHCAST_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "goldens", "graphcast_small.npz"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(GRAPHCAST_GOLDEN), reason="golden not generated"
+)
+def test_graphcast_matches_torch_reference_golden():
+    """GraphCast parity (reference models/graphcast/model.py:21): the same
+    encode-process-decode weights as the forecaster path (convert_forecaster
+    applies — identical encoder./processor./decoder. key layout) under the
+    uniform-hidden-dim GraphCast wrapper. Checkpointing presets are
+    numerically transparent so 'none' covers them."""
+    from graph_weather_tpu.models import GraphCast
+
+    data = np.load(GRAPHCAST_GOLDEN)
+    (lat_step, lon_step, input_dim, output_dim, hidden_dim,
+     num_blocks, hidden_layers) = data["__config__"]
+    lat_lons = [
+        (float(a), float(b))
+        for a in np.arange(-90.0, 90.0, lat_step)
+        for b in np.arange(0.0, 360.0, lon_step)
+    ]
+    model = GraphCast(
+        lat_lons,
+        input_dim=int(input_dim),
+        output_dim=int(output_dim),
+        hidden_dim=int(hidden_dim),
+        num_processor_blocks=int(num_blocks),
+        hidden_layers=int(hidden_layers),
+        latent_graph_order="reference",
+        # The reference leaves Decoder.output_edge_dim at its 256 default.
+        decoder_edge_dim=256,
+    )
+    sd = {k: data[k] for k in data.files if not k.startswith("__")}
+    params = jax.tree_util.tree_map(
+        np.asarray, convert_forecaster(sd, num_blocks=int(num_blocks))
+    )
+    ref_tree = jax.tree_util.tree_structure(model.init(jax.random.PRNGKey(0)))
+    assert jax.tree_util.tree_structure(params) == ref_tree
+
+    out = np.asarray(model.apply(params, data["__input__"]))
+    expected = data["__output__"]
+    assert out.shape == expected.shape
+    per_var_rmse = np.sqrt(((out - expected) ** 2).mean(axis=(0, 1)))
+    assert per_var_rmse.max() < 1e-5, per_var_rmse
+    assert np.abs(out - expected).max() < 1e-4
+
+
 GENCAST_GOLDEN = os.path.join(
     os.path.dirname(__file__), "goldens", "gencast_small.npz"
 )
@@ -528,4 +578,70 @@ def test_regional_matches_torch_reference_golden():
     per_var_rmse = np.sqrt(
         ((out_n - data["__output_nudged__"]) ** 2).mean(axis=(0, 1))
     )
+    assert per_var_rmse.max() < 1e-5, per_var_rmse
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_golden("fengwu_small.npz")),
+    reason="golden not generated",
+)
+def test_fengwu_ghr_matches_torch_reference_golden():
+    """FengWu-GHR parity: MetaModel (reference fengwu_ghr/layers.py:265)
+    and WrapperMetaModel (:311, scaled resolution + cross-window res
+    attention with base weights grafted in). Integer lat_lons make the
+    reference's long-truncated positions exact; both sides build the same
+    scipy-kd-tree kNN assignment."""
+    from graph_weather_tpu.convert import (
+        convert_fengwu_image_meta,
+        convert_fengwu_wrapper,
+    )
+    from graph_weather_tpu.models.fengwu_ghr import MetaModel, WrapperMetaModel
+
+    data = np.load(_golden("fengwu_small.npz"))
+    (ih, iw, ph, pw, depth, heads, mlp_dim, channels, dim_head,
+     scale) = (int(v) for v in data["__config__"])
+    lat_lons = [tuple(map(float, p)) for p in data["__lat_lons__"]]
+    model = MetaModel(
+        lat_lons,
+        image_size=(ih, iw),
+        patch_size=(ph, pw),
+        depth=depth,
+        heads=heads,
+        mlp_dim=mlp_dim,
+        channels=channels,
+        dim_head=dim_head,
+    )
+    imm_sd = {
+        k[len("imm.image_meta_model."):]: data[k]
+        for k in data.files
+        if k.startswith("imm.image_meta_model.")
+    }
+    params = jax.tree_util.tree_map(
+        np.asarray, convert_fengwu_image_meta(imm_sd, depth)
+    )
+    ref_tree = jax.tree_util.tree_structure(model.init(jax.random.PRNGKey(0)))
+    assert jax.tree_util.tree_structure(params) == ref_tree
+
+    out = np.asarray(model.apply(params, data["__input__"]))
+    expected = data["__output__"]
+    assert out.shape == expected.shape
+    per_var_rmse = np.sqrt(((out - expected) ** 2).mean(axis=(0, 1)))
+    assert per_var_rmse.max() < 1e-5, per_var_rmse
+
+    wrapper = WrapperMetaModel(lat_lons, model, scale)
+    wrap_sd = {
+        k[len("wrap."):]: data[k] for k in data.files if k.startswith("wrap.")
+    }
+    wparams = jax.tree_util.tree_map(
+        np.asarray, convert_fengwu_wrapper(wrap_sd, depth)
+    )
+    ref_tree = jax.tree_util.tree_structure(
+        wrapper.init(jax.random.PRNGKey(0))
+    )
+    assert jax.tree_util.tree_structure(wparams) == ref_tree
+
+    out_w = np.asarray(wrapper.apply(wparams, data["__input__"]))
+    expected_w = data["__output_wrapper__"]
+    assert out_w.shape == expected_w.shape
+    per_var_rmse = np.sqrt(((out_w - expected_w) ** 2).mean(axis=(0, 1)))
     assert per_var_rmse.max() < 1e-5, per_var_rmse
