@@ -620,13 +620,130 @@ def convert_fengwu_wrapper(sd: dict, depth: int) -> dict:
     return {"params": {"image_meta_model": imm["params"]}}
 
 
+def _conv_nd(sd, prefix):
+    """torch Conv2d/3d [out, in, *k] -> flax [*k, in, out]."""
+    w = np.asarray(sd[f"{prefix}.weight"])
+    axes = tuple(range(2, w.ndim)) + (1, 0)
+    out = {"kernel": np.ascontiguousarray(np.transpose(w, axes))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def _batch_norm(sd, prefix):
+    """torch BatchNorm -> (flax params, batch_stats)."""
+    return (
+        {
+            "scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"]),
+        },
+        {
+            "mean": np.asarray(sd[f"{prefix}.running_mean"]),
+            "var": np.asarray(sd[f"{prefix}.running_var"]),
+        },
+    )
+
+
+def _wm_natten(sd, prefix):
+    """natten NeighborhoodAttention3D -> our NeighborhoodAttention3D."""
+    return {
+        "TorchLinear_0": _linear(sd, f"{prefix}.qkv"),
+        "rpb": np.asarray(sd[f"{prefix}.rpb"]),
+        "TorchLinear_1": _linear(sd, f"{prefix}.proj"),
+    }
+
+
+def _wm_conv_block(sd, prefix, up: bool):
+    """reference ConvDownBlock/ConvUpBlock (weathermesh/layers.py:10/77)
+    -> our ConvDownBlock/ConvUpBlock (params, batch_stats). Creation
+    order in our blocks: identity conv+norm first, then conv1, conv2."""
+    ident = "upsample" if up else "downsample"
+    ident_bn = "bn_up" if up else "bn_down"
+    p0, s0 = _batch_norm(sd, f"{prefix}.{ident_bn}")
+    p1, s1 = _batch_norm(sd, f"{prefix}.bn1")
+    p2, s2 = _batch_norm(sd, f"{prefix}.bn2")
+    params = {
+        "Conv_0": _conv_nd(sd, f"{prefix}.{ident}"),
+        "BatchNorm_0": p0,
+        "Conv_1": _conv_nd(sd, f"{prefix}.conv1"),
+        "BatchNorm_1": p1,
+        "Conv_2": _conv_nd(sd, f"{prefix}.conv2"),
+        "BatchNorm_2": p2,
+    }
+    stats = {"BatchNorm_0": s0, "BatchNorm_1": s1, "BatchNorm_2": s2}
+    return params, stats
+
+
+def convert_weathermesh(
+    sd: dict,
+    num_processors: int = 2,
+    processor_num_layers: int = 10,
+    encoder_num_conv_blocks: int = 3,
+    encoder_num_transformer_layers: int = 3,
+    decoder_num_conv_blocks: int = 3,
+    decoder_num_transformer_layers: int = 3,
+) -> dict:
+    """Reference WeatherMesh state_dict (models/weathermesh/weathermesh2.py;
+    processor params under synthetic 'processors.{p}.' keys — the reference
+    keeps processors in a plain list, so they are absent from its own
+    state_dict) -> our WeatherMesh(norm='batch') variables
+    {params, batch_stats}."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: dict = {}
+    stats: dict = {}
+
+    enc_p: dict = {}
+    enc_s: dict = {}
+    for i in range(encoder_num_conv_blocks):
+        p, s = _wm_conv_block(sd, f"encoder.surface_path.{i}", up=False)
+        enc_p[f"ConvDownBlock_{2 * i}"], enc_s[f"ConvDownBlock_{2 * i}"] = p, s
+        p, s = _wm_conv_block(sd, f"encoder.pressure_path.{i}", up=False)
+        enc_p[f"ConvDownBlock_{2 * i + 1}"] = p
+        enc_s[f"ConvDownBlock_{2 * i + 1}"] = s
+    enc_p["Conv_0"] = _conv_nd(sd, "encoder.to_latent")
+    for i in range(encoder_num_transformer_layers):
+        enc_p[f"NeighborhoodAttention3D_{i}"] = _wm_natten(
+            sd, f"encoder.transformer_layers.{i}"
+        )
+    params["WeatherMeshEncoder_0"] = enc_p
+    stats["WeatherMeshEncoder_0"] = enc_s
+
+    for p_i in range(num_processors):
+        params[f"WeatherMeshProcessor_{p_i}"] = {
+            f"NeighborhoodAttention3D_{i}": _wm_natten(
+                sd, f"processors.{p_i}.layers.{i}"
+            )
+            for i in range(processor_num_layers)
+        }
+
+    dec_p: dict = {}
+    dec_s: dict = {}
+    for i in range(decoder_num_transformer_layers):
+        dec_p[f"NeighborhoodAttention3D_{i}"] = _wm_natten(
+            sd, f"decoder.transformer_layers.{i}"
+        )
+    dec_p["Conv_0"] = _conv_nd(sd, "decoder.split")
+    # decoder loops i = n-1 .. 0, creating (pressure, surface) per step;
+    # reference path lists are already in reversed order (index j = step).
+    for j in range(decoder_num_conv_blocks):
+        p, s = _wm_conv_block(sd, f"decoder.pressure_path.{j}", up=True)
+        dec_p[f"ConvUpBlock_{2 * j}"], dec_s[f"ConvUpBlock_{2 * j}"] = p, s
+        p, s = _wm_conv_block(sd, f"decoder.surface_path.{j}", up=True)
+        dec_p[f"ConvUpBlock_{2 * j + 1}"] = p
+        dec_s[f"ConvUpBlock_{2 * j + 1}"] = s
+    params["WeatherMeshDecoder_0"] = dec_p
+    stats["WeatherMeshDecoder_0"] = dec_s
+
+    return {"params": params, "batch_stats": stats}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument(
         "--model",
         choices=[
             "forecaster", "denoiser", "genda", "fgn", "cafa", "aurora",
-            "assimilator", "regional", "fengwu_ghr",
+            "assimilator", "regional", "fengwu_ghr", "weathermesh",
         ],
         required=True,
     )
@@ -671,6 +788,22 @@ def main():
         params = convert_aurora(sd, num_layers=layers)
     elif args.model == "assimilator":
         params = convert_assimilator(sd, num_blocks=nb or 9)
+    elif args.model == "weathermesh":
+        def _count(pat):
+            hits = [
+                int(k[len(pat):].split(".")[0]) for k in sd if k.startswith(pat)
+            ]
+            return 1 + max(hits) if hits else 0
+
+        params = convert_weathermesh(
+            sd,
+            num_processors=_count("processors."),
+            processor_num_layers=_count("processors.0.layers."),
+            encoder_num_conv_blocks=_count("encoder.surface_path."),
+            encoder_num_transformer_layers=_count("encoder.transformer_layers."),
+            decoder_num_conv_blocks=_count("decoder.surface_path."),
+            decoder_num_transformer_layers=_count("decoder.transformer_layers."),
+        )
     elif args.model == "fengwu_ghr":
         depth = 1 + max(
             int(k.split("transformer.layers.")[1].split(".")[0])

@@ -31,7 +31,17 @@ from graph_weather_tpu.nn.mlp import TorchLinear
 from graph_weather_tpu.ops.neighborhood_attention import neighborhood_attention_3d
 
 
-def _norm(channels: int):
+def _norm(channels: int, kind: str = "group"):
+    """Conv-path normalization.
+
+    "group" (default): GroupNorm — batch-size independent, no running
+    stats to synchronize across a TPU mesh (our TPU-native choice).
+    "batch": inference-mode BatchNorm on stored running stats — matches
+    the reference's BatchNorm2d/3d in eval mode (layers.py:33/96) so
+    converted reference checkpoints reproduce exactly.
+    """
+    if kind == "batch":
+        return nn.BatchNorm(use_running_average=True, epsilon=1e-5)
     return nn.GroupNorm(num_groups=min(32, channels), epsilon=1e-5)
 
 
@@ -88,22 +98,30 @@ class ConvDownBlock(nn.Module):
     is_3d: bool = False
     kernel_size: int = 3
     stride: Any = 2
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ndim = 3 if self.is_3d else 2
         k = (self.kernel_size,) * ndim
         stride = self.stride if isinstance(self.stride, tuple) else (self.stride,) * ndim
+        # Symmetric torch-style padding (reference padding=1): XLA's SAME
+        # pads extra on the RIGHT for stride-2, which shifts every window
+        # by one vs the reference.
+        pad = [(self.kernel_size // 2,) * 2] * ndim
 
         identity = nn.Conv(
             self.out_channels, kernel_size=(1,) * ndim, strides=stride, use_bias=False
         )(x)
-        identity = _norm(self.out_channels)(identity)
+        identity = _norm(self.out_channels, self.norm)(identity)
 
-        out = nn.Conv(self.out_channels, kernel_size=k, use_bias=False)(x)
-        out = nn.gelu(_norm(self.out_channels)(out), approximate=False)
-        out = nn.Conv(self.out_channels, kernel_size=k, strides=stride, use_bias=False)(out)
-        out = _norm(self.out_channels)(out)
+        out = nn.Conv(self.out_channels, kernel_size=k, padding=pad, use_bias=False)(x)
+        out = nn.gelu(_norm(self.out_channels, self.norm)(out), approximate=False)
+        out = nn.Conv(
+            self.out_channels, kernel_size=k, strides=stride, padding=pad,
+            use_bias=False,
+        )(out)
+        out = _norm(self.out_channels, self.norm)(out)
         return nn.gelu(out + identity, approximate=False)
 
 
@@ -117,6 +135,7 @@ class ConvUpBlock(nn.Module):
     is_3d: bool = False
     kernel_size: int = 3
     scale_factor: int = 2
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -132,12 +151,12 @@ class ConvUpBlock(nn.Module):
         x = jax.image.resize(x, new_shape, method="linear")
 
         identity = nn.Conv(self.out_channels, kernel_size=(1,) * ndim, use_bias=False)(x)
-        identity = _norm(self.out_channels)(identity)
+        identity = _norm(self.out_channels, self.norm)(identity)
 
         out = nn.Conv(x.shape[-1], kernel_size=k, use_bias=False)(x)
-        out = nn.gelu(_norm(x.shape[-1])(out), approximate=False)
+        out = nn.gelu(_norm(x.shape[-1], self.norm)(out), approximate=False)
         out = nn.Conv(self.out_channels, kernel_size=k, use_bias=False)(out)
-        out = _norm(self.out_channels)(out)
+        out = _norm(self.out_channels, self.norm)(out)
         return nn.gelu(out + identity, approximate=False)
 
 
@@ -210,13 +229,17 @@ class WeatherMeshEncoder(nn.Module):
     kernel_size: tuple[int, int, int] = (5, 7, 7)
     num_heads: int = 8
     num_transformer_layers: int = 3
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, surface: jnp.ndarray, pressure: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.num_conv_blocks):
-            surface = ConvDownBlock(self.hidden_dim * 2 ** (i + 1))(surface)
+            surface = ConvDownBlock(
+                self.hidden_dim * 2 ** (i + 1), norm=self.norm
+            )(surface)
             pressure = ConvDownBlock(
-                self.hidden_dim * 2 ** (i + 1), is_3d=True, stride=(1, 2, 2)
+                self.hidden_dim * 2 ** (i + 1), is_3d=True, stride=(1, 2, 2),
+                norm=self.norm,
             )(pressure)
         # merge: pressure levels + surface as one extra depth slice
         features = jnp.concatenate([pressure, surface[:, None]], axis=1)
@@ -260,6 +283,7 @@ class WeatherMeshDecoder(nn.Module):
     kernel_size: tuple[int, int, int] = (5, 7, 7)
     num_heads: int = 8
     num_transformer_layers: int = 3
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, latent: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -277,8 +301,8 @@ class WeatherMeshDecoder(nn.Module):
         for i in reversed(range(self.n_conv_blocks)):
             out_p = self.hidden_dim * 2**i if i > 0 else self.output_channels_3d
             out_s = self.hidden_dim * 2**i if i > 0 else self.output_channels_2d
-            pressure = ConvUpBlock(out_p, is_3d=True)(pressure)
-            surface = ConvUpBlock(out_s)(surface)
+            pressure = ConvUpBlock(out_p, is_3d=True, norm=self.norm)(pressure)
+            surface = ConvUpBlock(out_s, norm=self.norm)(surface)
         return surface, pressure
 
 
@@ -304,6 +328,7 @@ class WeatherMeshConfig:
     processor_num_layers: int = 10
     kernel: tuple = (5, 7, 7)
     num_heads: int = 8
+    norm: str = "group"
 
     @staticmethod
     def from_json(json: dict) -> "WeatherMeshConfig":
@@ -328,6 +353,7 @@ class WeatherMeshConfig:
             processor_num_layers=self.processor_num_layers,
             kernel=tuple(self.kernel),
             num_heads=self.num_heads,
+            norm=self.norm,
         )
 
 
@@ -353,6 +379,7 @@ class WeatherMesh(nn.Module):
     processor_num_layers: int = 10
     kernel: tuple[int, int, int] = (5, 7, 7)
     num_heads: int = 8
+    norm: str = "group"
 
     @nn.compact
     def __call__(
@@ -368,6 +395,7 @@ class WeatherMesh(nn.Module):
             kernel_size=tuple(self.kernel),
             num_heads=self.num_heads,
             num_transformer_layers=self.encoder_num_transformer_layers,
+            norm=self.norm,
         )(surface, pressure)
 
         processors = [
@@ -397,5 +425,6 @@ class WeatherMesh(nn.Module):
             kernel_size=tuple(self.kernel),
             num_heads=self.num_heads,
             num_transformer_layers=self.decoder_num_transformer_layers,
+            norm=self.norm,
         )(latent)
         return WeatherMeshOutput(surface=surface_out, pressure=pressure_out)

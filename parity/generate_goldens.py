@@ -812,10 +812,145 @@ def generate_fengwu(out_dir: str, cfg=FENGWU_SMALL) -> str:
     return path
 
 
+WEATHERMESH_SMALL = dict(
+    surface_channels=3,
+    pressure_channels=2,
+    pressure_levels=3,
+    latent_dim=8,
+    hidden_dim=4,
+    num_conv_blocks=2,
+    num_transformer_layers=1,
+    processor_num_layers=2,
+    num_processors=2,
+    kernel=(3, 3, 3),
+    num_heads=2,
+    hw=16,
+    forecast_steps=1,
+)
+
+
+def generate_weathermesh(out_dir: str, cfg=WEATHERMESH_SMALL) -> str:
+    """Golden for WeatherMesh (reference weathermesh/weathermesh2.py:68).
+
+    natten comes from the pure-torch shim (ref_shims._make_natten, NATTEN
+    clamped-window + rpb semantics). BatchNorm running stats are warmed
+    with a few train-mode forwards so the eval-mode stats are nontrivial;
+    rpb params are randomized (zero-init would mask the bias path). The
+    reference keeps processors in a plain Python list, so their params are
+    saved under synthetic 'processors.{p}.' keys."""
+    from parity import ref_shims
+
+    ref_shims.install()
+    ref_shims.add_reference_to_path()
+    import torch
+
+    from graph_weather.models.weathermesh.weathermesh2 import (
+        WeatherMesh as RefWeatherMesh,
+    )
+
+    torch.manual_seed(0)
+    timesteps = list(range(cfg["num_processors"]))
+    model = RefWeatherMesh(
+        encoder=None,
+        processors=None,
+        decoder=None,
+        timesteps=timesteps,
+        surface_channels=cfg["surface_channels"],
+        pressure_channels=cfg["pressure_channels"],
+        pressure_levels=cfg["pressure_levels"],
+        latent_dim=cfg["latent_dim"],
+        encoder_num_conv_blocks=cfg["num_conv_blocks"],
+        encoder_num_transformer_layers=cfg["num_transformer_layers"],
+        encoder_hidden_dim=cfg["hidden_dim"],
+        decoder_num_conv_blocks=cfg["num_conv_blocks"],
+        decoder_num_transformer_layers=cfg["num_transformer_layers"],
+        decoder_hidden_dim=cfg["hidden_dim"],
+        processor_num_layers=cfg["processor_num_layers"],
+        kernel=cfg["kernel"],
+        num_heads=cfg["num_heads"],
+    )
+    # Randomize every rpb (zero-init would make the bias path untested).
+    with torch.no_grad():
+        for mod in [model.encoder, model.decoder, *model.processors]:
+            for name, p in mod.named_parameters():
+                if name.endswith("rpb"):
+                    p.copy_(torch.randn_like(p) * 0.1)
+
+    hw = cfg["hw"]
+    rng = np.random.default_rng(42)
+    surface = rng.standard_normal(
+        (2, cfg["surface_channels"], hw, hw)
+    ).astype(np.float32)
+    pressure = rng.standard_normal(
+        (2, cfg["pressure_channels"], cfg["pressure_levels"], hw, hw)
+    ).astype(np.float32)
+
+    # Warm BatchNorm running stats away from (0, 1).
+    model.train()
+    with torch.no_grad():
+        for i in range(3):
+            r = np.random.default_rng(100 + i)
+            model(
+                torch.tensor(
+                    (r.standard_normal(surface.shape) * 1.5 + 0.3).astype(
+                        np.float32
+                    )
+                ),
+                torch.tensor(
+                    (r.standard_normal(pressure.shape) * 0.8 - 0.2).astype(
+                        np.float32
+                    )
+                ),
+                forecast_steps=1,
+            )
+    model.eval()
+    with torch.no_grad():
+        out = model(
+            torch.tensor(surface),
+            torch.tensor(pressure),
+            forecast_steps=cfg["forecast_steps"],
+        )
+    y_surface = out.surface.numpy()
+    y_pressure = out.pressure.numpy()
+
+    sd = _state_dict_np(model)
+    for p_i, proc in enumerate(model.processors):
+        for k, v in proc.state_dict().items():
+            sd[f"processors.{p_i}.{k}"] = v.detach().numpy()
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "weathermesh_small.npz")
+    np.savez_compressed(
+        path,
+        __surface__=surface,
+        __pressure__=pressure,
+        __output_surface__=y_surface,
+        __output_pressure__=y_pressure,
+        __config__=np.array(
+            [
+                cfg["surface_channels"], cfg["pressure_channels"],
+                cfg["pressure_levels"], cfg["latent_dim"], cfg["hidden_dim"],
+                cfg["num_conv_blocks"], cfg["num_transformer_layers"],
+                cfg["processor_num_layers"], cfg["num_processors"],
+                cfg["kernel"][0], cfg["kernel"][1], cfg["kernel"][2],
+                cfg["num_heads"], cfg["forecast_steps"],
+            ],
+            dtype=np.float64,
+        ),
+        **sd,
+    )
+    print(
+        f"wrote {path}: surface mean {y_surface.mean():+.6f} "
+        f"std {y_surface.std():.6f}"
+    )
+    return path
+
+
 GENERATORS = {
     "forecaster": generate_forecaster,
     "graphcast": generate_graphcast,
     "fengwu_ghr": generate_fengwu,
+    "weathermesh": generate_weathermesh,
     "gencast": generate_gencast,
     "fgn": generate_fgn,
     "genda": generate_genda,

@@ -441,8 +441,95 @@ def _make_trimesh():
     return {"trimesh": mod, "trimesh.proximity": prox}
 
 
+def _make_natten():
+    """Pure-torch natten shim: NeighborhoodAttention3D with NATTEN
+    semantics — every query attends to exactly kernel_size neighbors, the
+    window CLAMPS (slides inward) at boundaries, a learnable relative-
+    position bias indexed by (key - query) offset is added, and q is
+    scaled by head_dim^-0.5. Parameter layout matches natten's module
+    (qkv / rpb / proj) so state_dicts convert 1:1. Brute-force O(volume x
+    window) gather — parity-scale volumes only."""
+    import torch
+
+    mod = types.ModuleType("natten")
+
+    def _axis_windows(size, kernel):
+        i = np.arange(size)[:, None]
+        start = np.clip(i - kernel // 2, 0, size - kernel)
+        idx = start + np.arange(kernel)[None, :]
+        rel = idx - i + kernel - 1  # in [0, 2*kernel-2]
+        return idx, rel
+
+    class NeighborhoodAttention3D(torch.nn.Module):
+        def __init__(
+            self,
+            embed_dim=None,
+            num_heads=8,
+            kernel_size=(5, 7, 7),
+            dim=None,
+            qkv_bias=True,
+            qk_scale=None,
+            **kwargs,
+        ):
+            super().__init__()
+            dim = embed_dim if embed_dim is not None else dim
+            if isinstance(kernel_size, int):
+                kernel_size = (kernel_size,) * 3
+            self.dim = dim
+            self.num_heads = num_heads
+            self.kernel_size = tuple(kernel_size)
+            self.head_dim = dim // num_heads
+            self.scale = qk_scale or self.head_dim**-0.5
+            kd, kh, kw = self.kernel_size
+            self.qkv = torch.nn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.rpb = torch.nn.Parameter(
+                torch.zeros(num_heads, 2 * kd - 1, 2 * kh - 1, 2 * kw - 1)
+            )
+            self.proj = torch.nn.Linear(dim, dim)
+
+        def forward(self, x):
+            b, d, h, w, c = x.shape
+            kd, kh, kw = self.kernel_size
+            nh, ch = self.num_heads, self.head_dim
+            qkv = self.qkv(x).reshape(b, d, h, w, 3, nh, ch)
+            q, k, v = qkv.unbind(dim=4)  # [B, D, H, W, nh, ch]
+
+            id_, rd = _axis_windows(d, kd)
+            ih_, rh = _axis_windows(h, kh)
+            iw_, rw = _axis_windows(w, kw)
+
+            # Gather each query's kd*kh*kw neighborhood of k/v.
+            def gather(t):
+                t = t[:, torch.tensor(id_)]  # [B, D, kd, H, W, nh, ch]
+                t = t[:, :, :, torch.tensor(ih_)]  # [B, D, kd, H, kh, W, ...]
+                t = t[:, :, :, :, :, torch.tensor(iw_)]
+                # -> [B, D, kd, H, kh, W, kw, nh, ch]
+                return t
+
+            kn = gather(k)
+            vn = gather(v)
+            logits = torch.einsum("bdhwnc,bdxhywznc->bdhwnxyz", q * self.scale, kn)
+            bias = self.rpb[
+                :,
+                torch.tensor(rd)[:, None, None, :, None, None],
+                torch.tensor(rh)[None, :, None, None, :, None],
+                torch.tensor(rw)[None, None, :, None, None, :],
+            ]  # [nh, D, H, W, kd, kh, kw]
+            logits = logits + bias.permute(1, 2, 3, 0, 4, 5, 6)[None]
+            attn = torch.softmax(
+                logits.reshape(b, d, h, w, nh, -1), dim=-1
+            ).reshape(logits.shape)
+            out = torch.einsum("bdhwnxyz,bdxhywznc->bdhwnc", attn, vn)
+            return self.proj(out.reshape(b, d, h, w, c))
+
+    mod.NeighborhoodAttention3D = NeighborhoodAttention3D
+    return mod
+
+
 def install() -> None:
     """Install all shims into sys.modules (idempotent)."""
+    if "natten" not in sys.modules:
+        sys.modules["natten"] = _make_natten()
     if "torch_scatter" not in sys.modules:
         sys.modules["torch_scatter"] = _make_torch_scatter()
     if "torch_geometric" not in sys.modules:

@@ -645,3 +645,75 @@ def test_fengwu_ghr_matches_torch_reference_golden():
     assert out_w.shape == expected_w.shape
     per_var_rmse = np.sqrt(((out_w - expected_w) ** 2).mean(axis=(0, 1)))
     assert per_var_rmse.max() < 1e-5, per_var_rmse
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_golden("weathermesh_small.npz")),
+    reason="golden not generated",
+)
+def test_weathermesh_matches_torch_reference_golden():
+    """WeatherMesh parity (reference weathermesh/weathermesh2.py:68) with
+    norm='batch' (inference-mode BatchNorm on converted running stats) and
+    the pure-torch natten shim as the reference oracle. Covers encoder
+    conv paths + NATTEN layers + per-timestep processors + decoder."""
+    from graph_weather_tpu.convert import convert_weathermesh
+    from graph_weather_tpu.models.weathermesh import WeatherMesh
+
+    data = np.load(_golden("weathermesh_small.npz"))
+    (c2, c3, levels, latent_dim, hidden_dim, ncb, ntl, pnl, n_proc,
+     kd, kh, kw, heads, steps) = (int(v) for v in data["__config__"])
+    model = WeatherMesh(
+        timesteps=list(range(n_proc)),
+        surface_channels=c2,
+        pressure_channels=c3,
+        pressure_levels=levels,
+        latent_dim=latent_dim,
+        encoder_num_conv_blocks=ncb,
+        encoder_num_transformer_layers=ntl,
+        encoder_hidden_dim=hidden_dim,
+        decoder_num_conv_blocks=ncb,
+        decoder_num_transformer_layers=ntl,
+        decoder_hidden_dim=hidden_dim,
+        processor_num_layers=pnl,
+        kernel=(kd, kh, kw),
+        num_heads=heads,
+        norm="batch",
+    )
+    sd = {k: data[k] for k in data.files if not k.startswith("__")}
+    variables = jax.tree_util.tree_map(
+        np.asarray,
+        convert_weathermesh(
+            sd,
+            num_processors=n_proc,
+            processor_num_layers=pnl,
+            encoder_num_conv_blocks=ncb,
+            encoder_num_transformer_layers=ntl,
+            decoder_num_conv_blocks=ncb,
+            decoder_num_transformer_layers=ntl,
+        ),
+    )
+    # channels-last inputs for our model
+    surface = np.transpose(data["__surface__"], (0, 2, 3, 1))
+    pressure = np.transpose(data["__pressure__"], (0, 2, 3, 4, 1))
+
+    ref_vars = jax.jit(model.init, static_argnums=3)(
+        jax.random.PRNGKey(0), jnp.asarray(surface), jnp.asarray(pressure),
+        steps,
+    )
+    assert jax.tree_util.tree_structure(variables) == (
+        jax.tree_util.tree_structure(ref_vars)
+    )
+
+    out = jax.jit(model.apply, static_argnums=3)(
+        variables, jnp.asarray(surface), jnp.asarray(pressure), steps
+    )
+    out_surface = np.transpose(np.asarray(out.surface), (0, 3, 1, 2))
+    out_pressure = np.transpose(np.asarray(out.pressure), (0, 4, 1, 2, 3))
+    exp_s = data["__output_surface__"]
+    exp_p = data["__output_pressure__"]
+    assert out_surface.shape == exp_s.shape
+    assert out_pressure.shape == exp_p.shape
+    rmse_s = np.sqrt(((out_surface - exp_s) ** 2).mean(axis=(0, 2, 3)))
+    rmse_p = np.sqrt(((out_pressure - exp_p) ** 2).mean(axis=(0, 2, 3, 4)))
+    assert rmse_s.max() < 1e-5, rmse_s
+    assert rmse_p.max() < 1e-5, rmse_p
