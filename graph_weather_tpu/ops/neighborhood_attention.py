@@ -56,20 +56,35 @@ def neighborhood_attention_3d(
 ) -> jnp.ndarray:
     """Returns [B, D, H, W, heads, ch].
 
-    impl: "auto" uses the Pallas halo-in-VMEM kernel on TPU when the
-    shape qualifies (heads*ch a multiple of 128 and the tile fits VMEM),
-    falling back to the XLA slot-scan; "pallas"/"xla" force a path. The
-    Pallas path's backward differentiates the XLA implementation (same
+    impl: "auto" uses, in order of preference on TPU, the block-dense
+    halo flash kernel (ops/pallas/natten_flash.py), then the slot-serial
+    halo-in-VMEM kernel (ops/pallas/natten3d.py) when the shape
+    qualifies, falling back to the XLA slot-scan; "flash"/"pallas"/"xla"
+    force a path ("pallas" = the slot kernel, kept for comparison). Both
+    Pallas paths' backwards differentiate the XLA implementation (same
     function), so gradients are exact either way.
     """
-    if impl not in ("auto", "pallas", "xla"):
+    if impl not in ("auto", "flash", "pallas", "xla"):
         raise ValueError(f"unknown impl {impl!r}")
-    if impl != "xla":
+    on_tpu = jax.default_backend() == "tpu"
+    if impl in ("auto", "flash") and (on_tpu or impl == "flash"):
+        from graph_weather_tpu.ops.pallas.natten_flash import (
+            neighborhood_attention_3d_flash,
+        )
+
+        try:
+            return neighborhood_attention_3d_flash(
+                q, k, v, tuple(kernel), rpb, circular_w,
+                interpret=not on_tpu,
+            )
+        except ValueError:
+            if impl == "flash":
+                raise
+    if impl in ("auto", "pallas"):
         from graph_weather_tpu.ops.pallas.natten3d import (
             neighborhood_attention_3d_pallas,
         )
 
-        on_tpu = jax.default_backend() == "tpu"
         try:
             if impl == "pallas" or on_tpu:
                 return neighborhood_attention_3d_pallas(

@@ -583,3 +583,114 @@ class TestNatten3DPallas:
         # ...but the dispatcher falls back and still computes.
         out = neighborhood_attention_3d(q, q, q, (3, 3, 3))
         assert out.shape == q.shape
+
+
+class TestNattenFlashPallas:
+    """Block-dense halo NATTEN flash vs the XLA slot-scan reference."""
+
+    def _inputs(self, B=2, D=4, H=11, W=14, heads=4, ch=32, seed=0):
+        rng = np.random.default_rng(seed)
+        q, k, v = (
+            jnp.asarray(
+                rng.standard_normal((B, D, H, W, heads, ch)), jnp.float32
+            )
+            for _ in range(3)
+        )
+        return q, k, v, rng
+
+    @pytest.mark.parametrize("circular_w", [False, True])
+    @pytest.mark.parametrize("with_rpb", [True, False])
+    def test_matches_xla(self, circular_w, with_rpb):
+        from graph_weather_tpu.ops.neighborhood_attention import (
+            neighborhood_attention_3d_xla,
+        )
+        from graph_weather_tpu.ops.pallas.natten_flash import (
+            neighborhood_attention_3d_flash,
+        )
+
+        kd, kh, kw = 3, 5, 5
+        q, k, v, rng = self._inputs()
+        rpb = (
+            jnp.asarray(
+                rng.standard_normal((4, 2 * kd - 1, 2 * kh - 1, 2 * kw - 1)),
+                jnp.float32,
+            )
+            * 0.5
+            if with_rpb
+            else None
+        )
+        ref = neighborhood_attention_3d_xla(
+            q, k, v, (kd, kh, kw), rpb, circular_w
+        )
+        out = neighborhood_attention_3d_flash(
+            q, k, v, (kd, kh, kw), rpb, circular_w, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+    def test_multi_lane_group(self):
+        """hc = 256 (two 128-lane groups, ch=64) exercises the group grid
+        axis and per-group bias layout."""
+        from graph_weather_tpu.ops.neighborhood_attention import (
+            neighborhood_attention_3d_xla,
+        )
+        from graph_weather_tpu.ops.pallas.natten_flash import (
+            neighborhood_attention_3d_flash,
+        )
+
+        q, k, v, rng = self._inputs(B=1, D=3, H=7, W=10, heads=4, ch=64)
+        rpb = jnp.asarray(
+            rng.standard_normal((4, 5, 5, 5)), jnp.float32
+        )
+        ref = neighborhood_attention_3d_xla(q, k, v, (3, 3, 3), rpb, True)
+        out = neighborhood_attention_3d_flash(
+            q, k, v, (3, 3, 3), rpb, True, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+    def test_gradients_match_xla(self):
+        from graph_weather_tpu.ops.neighborhood_attention import (
+            neighborhood_attention_3d_xla,
+        )
+        from graph_weather_tpu.ops.pallas.natten_flash import (
+            neighborhood_attention_3d_flash,
+        )
+
+        q, k, v, rng = self._inputs(B=1, D=3, H=6, W=8)
+        rpb = jnp.asarray(rng.standard_normal((4, 5, 5, 9)), jnp.float32)
+
+        def loss(fn):
+            return lambda q, k, v, r: jnp.sum(
+                fn(q, k, v, (3, 3, 5), r, False) ** 2
+            )
+
+        g_f = jax.grad(
+            loss(
+                lambda *a, **kw: neighborhood_attention_3d_flash(
+                    *a, interpret=True, **kw
+                )
+            ),
+            (0, 1, 2, 3),
+        )(q, k, v, rpb)
+        g_x = jax.grad(loss(neighborhood_attention_3d_xla), (0, 1, 2, 3))(
+            q, k, v, rpb
+        )
+        for name, a, b in zip("q k v rpb".split(), g_f, g_x):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5, err_msg=f"d{name}"
+            )
+
+    def test_unqualified_raises(self):
+        from graph_weather_tpu.ops.pallas.natten_flash import (
+            neighborhood_attention_3d_flash,
+        )
+
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.standard_normal((1, 3, 4, 6, 3, 8)), jnp.float32)
+        with pytest.raises(ValueError, match="multiple of 128"):
+            neighborhood_attention_3d_flash(
+                q, q, q, (3, 3, 3), None, False, interpret=True
+            )
