@@ -528,6 +528,119 @@ def metric_fgn(quick: bool):
     )
 
 
+def metric_fgn_ensemble(quick: bool):
+    """FGN 8-member ensemble forward at reference scale, per-member ms.
+
+    Members ride jax.vmap over per-member PRNG keys (one XLA program, the
+    single-chip analogue of parallel/ensemble.py's member-sharded fn — on
+    a multi-chip mesh the same program shards the member axis over ICI)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graph_weather_tpu.models.fgn import FunctionalGenerativeNetwork
+
+    if quick:
+        nlon, nlat, hid, blocks, splits, hops, members = 32, 16, 64, 4, 2, 2, 2
+        f_in, f_out, zdim = 8, 4, 8
+    else:
+        nlon, nlat, hid, blocks, splits, hops, members = 128, 64, 768, 24, 6, 6, 8
+        f_in, f_out, zdim = 89, 83, 32
+    fgn = FunctionalGenerativeNetwork(
+        grid_lon=np.arange(0.0, 360.0, 360.0 / nlon),
+        grid_lat=np.linspace(-90.0, 90.0, nlat),
+        input_features_dim=f_in,
+        output_features_dim=f_out,
+        noise_dimension=zdim,
+        hidden_dims=(hid, hid),
+        num_blocks=blocks,
+        splits=splits,
+        num_hops=hops,
+        use_edges_features=False,
+        attention_impl="clustered_flash",
+    )
+    params = fgn.init(jax.random.PRNGKey(0))
+    fwd = jax.jit(fgn.forward_fn(members, compute_dtype=jnp.bfloat16))
+    prev = jax.random.normal(jax.random.PRNGKey(1), (1, nlon, nlat, 2 * f_in))
+    key = jax.random.PRNGKey(2)
+
+    def body(c, params, prev, key):
+        return fwd(params, prev.at[0, 0, 0, 0].set(c), key)
+
+    ms = _time_ms(body, 2 if quick else 3, args=(params, prev, key))
+    _ms_metric(
+        "fgn_ensemble8_fwd_ms_per_member" + ("_quick" if quick else ""),
+        ms / members,
+        grid=f"{nlon}x{nlat}",
+        hidden=hid,
+        num_blocks=blocks,
+        members=members,
+        total_ms=round(ms, 2),
+        dtype="bfloat16",
+        attention_impl="clustered_flash",
+    )
+
+
+def metric_genda(quick: bool):
+    """GenDA classifier-free guided forward (one-program batch-2B CFG
+    fold), splits 5, bf16 (reference genda/model.py:489-517 runs two full
+    denoiser forwards per guidance step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graph_weather_tpu.models.genda import GenDA
+
+    if quick:
+        nlon, nlat, hid, blocks, splits, hops = 32, 16, 64, 4, 2, 2
+        f_in, f_out = 8, 4
+    else:
+        nlon, nlat, hid, blocks, splits, hops = 128, 64, 512, 16, 5, 4
+        f_in, f_out = 89, 83
+    genda = GenDA(
+        grid_lon=np.arange(0.0, 360.0, 360.0 / nlon),
+        grid_lat=np.linspace(-90.0, 90.0, nlat),
+        input_features_dim=f_in,
+        output_features_dim=f_out,
+        hidden_dims=(hid, hid),
+        num_blocks=blocks,
+        num_heads=4,
+        splits=splits,
+        num_hops=hops,
+        use_edges_features=False,
+        conditioning_dim=2,
+        attention_impl="clustered_flash",
+    )
+    params = genda.init(jax.random.PRNGKey(0))
+    guided = genda.guided_forward_fn(compute_dtype=jnp.bfloat16)
+    corrupted = jax.random.normal(
+        jax.random.PRNGKey(1), (1, nlon, nlat, f_out)
+    )
+    prev = jax.random.normal(jax.random.PRNGKey(2), (1, nlon, nlat, 2 * f_in))
+    noise = jnp.full((1, 1), 1.0)
+    mask = (
+        jax.random.uniform(jax.random.PRNGKey(3), (1, nlon, nlat, 1)) < 0.1
+    ).astype(jnp.float32)
+    values = jax.random.normal(jax.random.PRNGKey(4), (1, nlon, nlat, 1))
+
+    def body(c, params, corrupted, prev, noise, mask, values):
+        return guided(
+            params, corrupted.at[0, 0, 0, 0].set(c), prev, noise, mask,
+            values, 2.0,
+        )
+
+    ms = _time_ms(
+        body, 5 if quick else 10,
+        args=(params, corrupted, prev, noise, mask, values),
+    )
+    _ms_metric(
+        f"genda_guided_fwd_ms_splits{splits}" + ("_quick" if quick else ""),
+        ms,
+        grid=f"{nlon}x{nlat}",
+        dtype="bfloat16",
+        cfg="one-program batch-2B fold",
+        attention_impl="clustered_flash",
+    )
+
+
 def metric_weathermesh(quick: bool):
     """WeatherMesh forward at 1 deg / 13 pressure levels, bf16."""
     import jax
@@ -681,6 +794,8 @@ METRICS = {
     "quarter_slice": metric_quarter_slice,
     "denoiser_batch4": metric_denoiser_batch4,
     "fgn": metric_fgn,
+    "fgn_ensemble": metric_fgn_ensemble,
+    "genda": metric_genda,
     "weathermesh": metric_weathermesh,
 }
 
@@ -700,7 +815,9 @@ FULL_ORDER = [
     ("quarter_slice", 300),
     ("gencast_train", 300),
     ("denoiser_batch4", 240),
+    ("genda", 240),
     ("fgn", 600),
+    ("fgn_ensemble", 420),
     ("assimilator", 150),
     ("train_step", 180),
 ]

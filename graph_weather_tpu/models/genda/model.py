@@ -134,15 +134,26 @@ class GenDA(Denoiser):
             if t is not None and tuple(t.shape) != expected:
                 raise ValueError(f"Expected {name} shape {expected}, got {tuple(t.shape)}")
 
-    def forward_fn(self):
+    def forward_fn(self, compute_dtype=None):
+        """Pure forward with sensor conditioning; same compute_dtype policy
+        as Denoiser.forward_fn (params/inputs/static features cast to bf16,
+        preconditioning and output in f32)."""
         module = self.module
-        consts = (
+        consts = [
             self.grid_node_feats,
             self.mesh_node_feats,
             self.g2m,
             self.khop,
             self.m2g,
-        )
+        ]
+        if compute_dtype is not None:
+            consts[0] = consts[0].astype(compute_dtype)
+            consts[1] = consts[1].astype(compute_dtype)
+            for i in (2, 3, 4):
+                consts[i] = consts[i].replace(
+                    edge_attr=consts[i].edge_attr.astype(compute_dtype)
+                )
+        consts = tuple(consts)
         to_nodes, from_nodes = self._to_nodes, self._from_nodes
         check = self._check_shapes
         cdim = self.conditioning_dim
@@ -156,6 +167,15 @@ class GenDA(Denoiser):
             sensor_values=None,
         ):
             check(corrupted_targets, prev_inputs, noise_levels)
+            if compute_dtype is not None:
+                params = jax.tree_util.tree_map(
+                    lambda t: t.astype(compute_dtype)
+                    if jnp.issubdtype(t.dtype, jnp.floating)
+                    else t,
+                    params,
+                )
+                corrupted_targets = corrupted_targets.astype(compute_dtype)
+                prev_inputs = prev_inputs.astype(compute_dtype)
             batch, n = corrupted_targets.shape[0], self.num_lon * self.num_lat
             parts = []
             if sensor_mask is not None:
@@ -166,15 +186,54 @@ class GenDA(Denoiser):
                 cond = jnp.concatenate(parts, axis=-1)
             else:
                 cond = jnp.zeros((batch, n, cdim), corrupted_targets.dtype)
+            cond = cond.astype(corrupted_targets.dtype)
             out = module.apply(
                 params,
                 to_nodes(corrupted_targets),
                 to_nodes(prev_inputs),
-                noise_levels,
+                noise_levels.astype(jnp.float32),
                 *consts,
                 conditioning=cond,
             )
-            return from_nodes(out)
+            return from_nodes(out).astype(jnp.float32)
+
+        return fn
+
+    def guided_forward_fn(self, compute_dtype=None):
+        """One-program classifier-free guidance: the conditional and
+        unconditional passes are folded into a single batch-2B forward
+        (conditioning zeroed on the second half) instead of two dispatches
+        — one network pass at 2B rides the batch-native attention kernels
+        (reference guided_forward runs two full forwards,
+        genda/model.py:489-517).
+
+        Returns fn(params, corrupted, prev, noise, sensor_mask,
+        sensor_values, gamma) -> guided denoised output [B, lon, lat, F].
+        """
+        base = self.forward_fn(compute_dtype=compute_dtype)
+
+        def fn(
+            params,
+            corrupted_targets,
+            prev_inputs,
+            noise_levels,
+            sensor_mask,
+            sensor_values,
+            gamma=2.0,
+        ):
+            both = jnp.concatenate([corrupted_targets, corrupted_targets], 0)
+            prev2 = jnp.concatenate([prev_inputs, prev_inputs], 0)
+            noise2 = jnp.concatenate([noise_levels, noise_levels], 0)
+            mask2 = jnp.concatenate(
+                [sensor_mask, jnp.zeros_like(sensor_mask)], 0
+            )
+            vals2 = jnp.concatenate(
+                [sensor_values, jnp.zeros_like(sensor_values)], 0
+            )
+            out = base(params, both, prev2, noise2, mask2, vals2)
+            b = corrupted_targets.shape[0]
+            cond, uncond = out[:b], out[b:]
+            return uncond + gamma * (cond - uncond)
 
         return fn
 

@@ -326,10 +326,25 @@ def clustered_flash_attention(
     caller asserts the edge list is symmetric AND q/k/v index the same
     node set, e.g. the k-hop mesh graph; meshes/clustering.py checks this
     at build time).
-    Batched inputs fold B into the kernel's block-grid axis with the
-    shared masks indexed modulo nb — do NOT vmap this function (the
-    pallas batching rule broadcasts the shared mask/ids operands).
+    Batched inputs are HEAD-FOLDED: [B, N, h, c] -> [N, B*h, c], so the
+    batch rides the kernel's head grid axis — masks are fetched once per
+    block for all B*h head steps and the k/v unions gather as B*h*c-wide
+    rows (near-bandwidth block copies). Measured on the splits-5 k-hop
+    layout (v5e): 0.739 ms/sample at B=4 vs 0.916 for the block-grid fold
+    vs 0.482 at B=1 (scripts/probe_batch_scaling.py). Do NOT vmap this
+    function (the pallas batching rule broadcasts the shared mask/ids
+    operands); pass the batch axis instead.
     """
+    if q.ndim == 4 and q.shape[0] > 1:
+        b, n, h, c = q.shape
+        n_kv = k.shape[1]
+        qf = q.transpose(1, 0, 2, 3).reshape(n, b * h, c)
+        kf = k.transpose(1, 0, 2, 3).reshape(n_kv, b * h, c)
+        vf = v.transpose(1, 0, 2, 3).reshape(n_kv, b * h, c)
+        out = _clustered(
+            qf, kf, vf, gather_ids, masks, block, interpret, symmetric
+        )
+        return out.reshape(n, b, h, c).transpose(1, 0, 2, 3)
     return _clustered(q, k, v, gather_ids, masks, block, interpret, symmetric)
 
 

@@ -197,6 +197,63 @@ class TestGenDA:
         cond = model(params, tgt, prev, noise, sensor_mask=mask, sensor_values=values)
         np.testing.assert_allclose(np.asarray(guided), np.asarray(cond), atol=1e-6)
 
+    def test_guided_forward_fn_matches_two_pass(self, genda):
+        """The one-program batch-2B CFG fold equals the two-dispatch
+        guided_forward (reference genda/model.py:489-517 semantics).
+
+        The fold itself is EXACT: within the folded program, the two
+        halves run identical per-sample math (asserted bit-exactly with
+        replicated conditioning below). Comparing against the two-dispatch
+        guided_forward crosses two differently-compiled XLA programs
+        (batch B vs 2B), whose f32 fusion orders drift ~5e-4 through the
+        denoiser, amplified by gamma — hence the loose tolerance there."""
+        model, params = genda
+        tgt, prev, noise, mask, values = self._tensors(batch=2)
+        two_pass = model.guided_forward(
+            params, tgt, prev, noise, mask, values, gamma=2.0
+        )
+        one_prog = jax.jit(model.guided_forward_fn())(
+            params, tgt, prev, noise, mask, values, 2.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(one_prog), np.asarray(two_pass), atol=5e-3
+        )
+        # Exactness of the fold: replicate the conditioning on both halves
+        # -> gamma drops out and guided == the (folded) conditional pass,
+        # bit-for-bit, for any gamma.
+        fwd = jax.jit(model.forward_fn())
+        cond = fwd(params, tgt, prev, noise, mask, values)
+
+        def guided_replicated(gamma):
+            both = jnp.concatenate([tgt, tgt], 0)
+            out = jax.jit(model.forward_fn())(
+                params, both,
+                jnp.concatenate([prev, prev], 0),
+                jnp.concatenate([noise, noise], 0),
+                jnp.concatenate([mask, mask], 0),
+                jnp.concatenate([values, values], 0),
+            )
+            b = tgt.shape[0]
+            return out[b:] + gamma * (out[:b] - out[b:])
+
+        np.testing.assert_array_equal(
+            np.asarray(guided_replicated(7.5)), np.asarray(guided_replicated(0.0))
+        )
+        np.testing.assert_allclose(
+            np.asarray(guided_replicated(2.0)), np.asarray(cond), atol=5e-3
+        )
+
+    def test_forward_fn_bf16_close_to_f32(self, genda):
+        model, params = genda
+        tgt, prev, noise, mask, values = self._tensors()
+        f32 = jax.jit(model.forward_fn())(params, tgt, prev, noise, mask, values)
+        bf16 = jax.jit(model.forward_fn(compute_dtype=jnp.bfloat16))(
+            params, tgt, prev, noise, mask, values
+        )
+        assert bf16.dtype == jnp.float32
+        diff = np.abs(np.asarray(f32) - np.asarray(bf16))
+        assert float(diff.mean()) < 0.05
+
     def test_clustered_flash_matches_segment(self, monkeypatch):
         """GenDA(attention_impl='clustered_flash') equals the segment path
         (same RCB mesh ordering forced on the segment model)."""
