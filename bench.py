@@ -483,7 +483,11 @@ def metric_fgn(quick: bool):
     )
     params = fgn.init(jax.random.PRNGKey(0))
     member = jax.jit(fgn.member_fn(compute_dtype=jnp.bfloat16))
-    prev = jax.random.normal(jax.random.PRNGKey(1), (1, nlon, nlat, 2 * f_in))
+    # Reference FGN conditions on a SINGLE previous timestep
+    # (reference models/fgn/model.py:89,132: encoder grid_dim =
+    # input_features_dim + grid_nodes_dim) — unlike the GenCast denoiser,
+    # which concatenates 2 prev steps.
+    prev = jax.random.normal(jax.random.PRNGKey(1), (1, nlon, nlat, f_in))
     z = jax.random.normal(jax.random.PRNGKey(2), (1, zdim))
 
     def body(c, params, prev, z):
@@ -560,7 +564,8 @@ def metric_fgn_ensemble(quick: bool):
     )
     params = fgn.init(jax.random.PRNGKey(0))
     fwd = jax.jit(fgn.forward_fn(members, compute_dtype=jnp.bfloat16))
-    prev = jax.random.normal(jax.random.PRNGKey(1), (1, nlon, nlat, 2 * f_in))
+    # Single prev timestep — see metric_fgn (reference fgn/model.py:89,132).
+    prev = jax.random.normal(jax.random.PRNGKey(1), (1, nlon, nlat, f_in))
     key = jax.random.PRNGKey(2)
 
     def body(c, params, prev, key):
