@@ -60,9 +60,11 @@ def neighborhood_attention_3d(
     halo flash kernel (ops/pallas/natten_flash.py), then the slot-serial
     halo-in-VMEM kernel (ops/pallas/natten3d.py) when the shape
     qualifies, falling back to the XLA slot-scan; "flash"/"pallas"/"xla"
-    force a path ("pallas" = the slot kernel, kept for comparison). Both
-    Pallas paths' backwards differentiate the XLA implementation (same
-    function), so gradients are exact either way.
+    force a path ("pallas" = the slot kernel, kept for comparison). The
+    flash path has a hand-written flash backward kernel (saved
+    logsumexp, recompute-P, halo scatter-add, translation-invariant
+    drpb); the slot kernel's backward differentiates the XLA
+    implementation (same function) — gradients are exact either way.
     """
     if impl not in ("auto", "flash", "pallas", "xla"):
         raise ValueError(f"unknown impl {impl!r}")

@@ -29,8 +29,18 @@ regular grid: BLOCK-DENSE masked attention against a halo.
     invariant, so one [block, hpg*U_pad] bias tensor (built from the
     learned rpb each call) serves every tile.
 
-Backward: custom_vjp differentiating the XLA slot-scan reference
-(mathematically the same function) — same contract as natten3d.py.
+Backward: hand-written flash backward (same recipe as clustered_flash):
+the forward saves per-(node, head) logsumexp; one backward kernel per
+(lane-group, batch*block) grid step recomputes the masked logits, forms
+P and dS = P * (dO V^T - delta), and emits dq (block rows, exact), the
+block-local dk/dv in TRANSPOSED [128, u_pad] layout (scatter-added over
+the overlapping halo gather ids with one XLA segment_sum — NATTEN halos
+overlap between adjacent tiles, so unlike the symmetric clustered path
+the scatter cannot be elided), and a [block, hpg*u_pad] dbias
+accumulator: the relative-position bias is translation invariant, so
+summing dS over every tile and batch row then segment-summing over the
+canonical rel_flat table yields drpb exactly. Falls back to
+differentiating the XLA slot-scan when no backward tile fits VMEM.
 """
 
 from __future__ import annotations
@@ -47,6 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 _SAFE = -1e28
 _VMEM_MODEL_BUDGET = 28 * 2**20  # modeled working set; limit set to 100 MB
+_VMEM_BWD_BUDGET = 28 * 2**20  # backward working set model (more temps)
 
 
 # ---------------------------------------------------------------------------
@@ -285,13 +296,16 @@ def _flash_kernel(
     bias_ref,  # [1, block, hpg*u_pad]
     ctab_ref,  # [nb_pad, 128] int32 (resident)
     o_ref,  # [1, block, 128]
-    *,
+    *rest,  # (lse_ref [1, block, 128],) when with_lse
     nb,
     hpg,
     ch,
     u_pad,
     has_bias,
+    with_lse,
 ):
+    if with_lse:
+        (lse_ref,) = rest
     b = pl.program_id(0)
     tile = jax.lax.rem(b, nb)
     cls = ctab_ref[pl.dslice(tile, 1), pl.dslice(0, 1)][0, 0]
@@ -317,6 +331,7 @@ def _flash_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
     parts = []
     vparts = []
+    lparts = []
     for hh in range(hpg):
         sl = s[:, hh * u_pad : (hh + 1) * u_pad]
         sl = jnp.where(msk != 0, sl, _NEG)
@@ -327,6 +342,9 @@ def _flash_kernel(
         vparts.append(
             jnp.where((lane >= hh * ch) & (lane < (hh + 1) * ch), v, 0)
         )
+        if with_lse:
+            lse = m + jnp.log(jnp.maximum(l, 1e-30))
+            lparts.append(jnp.broadcast_to(lse, (lse.shape[0], ch)))
     phat = jnp.concatenate(parts, axis=1).astype(v.dtype)
     vhat = jnp.concatenate(vparts, axis=0)  # [hpg*u_pad, 128]
     o = jax.lax.dot_general(
@@ -334,6 +352,8 @@ def _flash_kernel(
         preferred_element_type=jnp.float32,
     )
     o_ref[0] = o.astype(o_ref.dtype)
+    if with_lse:
+        lse_ref[0] = jnp.concatenate(lparts, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -341,7 +361,61 @@ def _flash_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _flash_fwd_impl(q, k, v, rpb, kernel, circular_w, th, tw, interpret):
+def _tile_nodes(t, lay, bsz, d, h, w):
+    """[B, D, H, W, F] -> [B*nb, block, F] in the tiled row order."""
+    f = t.shape[-1]
+    nb = lay.nbh * lay.nbw
+    t = jnp.pad(
+        t, ((0, 0), (0, 0), (0, lay.hp - h), (0, lay.wp - w), (0, 0))
+    )
+    t = t.reshape(bsz, d, lay.nbh, lay.th, lay.nbw, lay.tw, f)
+    t = jnp.transpose(t, (0, 2, 4, 1, 3, 5, 6))
+    return t.reshape(bsz * nb, lay.block, f)
+
+
+def _untile_nodes(t, lay, bsz, d, h, w):
+    """Inverse of _tile_nodes: [B*nb, block, F] -> [B, D, H, W, F]."""
+    f = t.shape[-1]
+    t = t.reshape(bsz, lay.nbh, lay.nbw, d, lay.th, lay.tw, f)
+    t = jnp.transpose(t, (0, 3, 1, 4, 2, 5, 6)).reshape(
+        bsz, d, lay.hp, lay.wp, f
+    )
+    return t[:, :, :h, :w]
+
+
+def _build_bias(rpb, lay, heads, n_groups, hpg, dt):
+    """Learned rpb -> [n_groups, block, hpg*u_pad] folded bias (or dummy)."""
+    bias_dt = jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
+    if rpb is None:
+        return jnp.zeros((n_groups, 1, 128), bias_dt), (1, 1, 128)
+    block, u_pad = lay.block, lay.u_pad
+    rel = jnp.asarray(lay.rel_flat)
+    rpb_flat = rpb.reshape(heads, -1)
+    per_head = jnp.take(rpb_flat, rel, axis=1)  # [heads, block, u_pad]
+    bias = (
+        per_head.reshape(n_groups, hpg, block, u_pad)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_groups, block, hpg * u_pad)
+        .astype(bias_dt)
+    )
+    return bias, (1, block, hpg * u_pad)
+
+
+def _gather_halo(km, vm, lay, bsz):
+    """Tiled K/V rows -> per-tile halo unions [B*nb, u_pad, hc]."""
+    nb = lay.nbh * lay.nbw
+    hc = km.shape[-1]
+    ids = jnp.asarray(lay.ids)
+    k_flat = km.reshape(bsz, nb * lay.block, hc)
+    v_flat = vm.reshape(bsz, nb * lay.block, hc)
+    k_loc = jnp.take(k_flat, ids, axis=1).reshape(bsz * nb, lay.u_pad, hc)
+    v_loc = jnp.take(v_flat, ids, axis=1).reshape(bsz * nb, lay.u_pad, hc)
+    return k_loc, v_loc
+
+
+def _flash_fwd_impl(
+    q, k, v, rpb, kernel, circular_w, th, tw, interpret, with_lse=False
+):
     bsz, d, h, w, heads, ch = q.shape
     hc = heads * ch
     hpg = 128 // ch
@@ -351,53 +425,35 @@ def _flash_fwd_impl(q, k, v, rpb, kernel, circular_w, th, tw, interpret):
     block, u_pad = lay.block, lay.u_pad
     dt = q.dtype
 
-    def tiles(t):
-        # [B, D, H, W, hc] -> [B*nb, block, hc]
-        t = jnp.pad(
-            t, ((0, 0), (0, 0), (0, lay.hp - h), (0, lay.wp - w), (0, 0))
-        )
-        t = t.reshape(bsz, d, lay.nbh, lay.th, lay.nbw, lay.tw, hc)
-        t = jnp.transpose(t, (0, 2, 4, 1, 3, 5, 6))
-        return t.reshape(bsz * nb, block, hc)
-
     scale = ch**-0.5
-    qm = tiles((q * scale).reshape(bsz, d, h, w, hc).astype(dt))
-    km = tiles(k.reshape(bsz, d, h, w, hc))
-    vm = tiles(v.reshape(bsz, d, h, w, hc))
-
-    ids = jnp.asarray(lay.ids)
-    k_flat = km.reshape(bsz, nb * block, hc)
-    v_flat = vm.reshape(bsz, nb * block, hc)
-    k_loc = jnp.take(k_flat, ids, axis=1).reshape(bsz * nb, u_pad, hc)
-    v_loc = jnp.take(v_flat, ids, axis=1).reshape(bsz * nb, u_pad, hc)
+    qm = _tile_nodes(
+        (q * scale).reshape(bsz, d, h, w, hc).astype(dt), lay, bsz, d, h, w
+    )
+    km = _tile_nodes(k.reshape(bsz, d, h, w, hc), lay, bsz, d, h, w)
+    vm = _tile_nodes(v.reshape(bsz, d, h, w, hc), lay, bsz, d, h, w)
+    k_loc, v_loc = _gather_halo(km, vm, lay, bsz)
     k_t = jnp.swapaxes(k_loc, 1, 2)  # [B*nb, hc, u_pad]
 
-    bias_dt = jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
-    if rpb is not None:
-        rel = jnp.asarray(lay.rel_flat)
-        rpb_flat = rpb.reshape(heads, -1)
-        per_head = jnp.take(rpb_flat, rel, axis=1)  # [heads, block, u_pad]
-        bias = (
-            per_head.reshape(n_groups, hpg, block, u_pad)
-            .transpose(0, 2, 1, 3)
-            .reshape(n_groups, block, hpg * u_pad)
-            .astype(bias_dt)
-        )
-    else:
-        bias = jnp.zeros((n_groups, 1, 128), bias_dt)
-
+    bias, bias_block = _build_bias(rpb, lay, heads, n_groups, hpg, dt)
     masks = jnp.asarray(lay.masks)
     ctab = jnp.asarray(lay.cls_tab)
     n_cls = lay.masks.shape[0]
     nb_pad = lay.cls_tab.shape[0]
 
-    bias_block = (
-        (1, block, hpg * u_pad) if rpb is not None else (1, 1, 128)
-    )
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, block, 128), lambda b, g: (b, 0, g))]
+    out_shapes = [jax.ShapeDtypeStruct((bsz * nb, block, hc), dt)]
+    if with_lse:
+        out_specs.append(
+            pl.BlockSpec((1, block, 128), lambda b, g: (b, 0, g))
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((bsz * nb, block, hc), jnp.float32)
+        )
+    res = pl.pallas_call(
         functools.partial(
             _flash_kernel,
             nb=nb, hpg=hpg, ch=ch, u_pad=u_pad, has_bias=rpb is not None,
+            with_lse=with_lse,
         ),
         grid=(bsz * nb, n_groups),
         in_specs=[
@@ -408,41 +464,353 @@ def _flash_fwd_impl(q, k, v, rpb, kernel, circular_w, th, tw, interpret):
             pl.BlockSpec(bias_block, lambda b, g: (g, 0, 0)),
             pl.BlockSpec((nb_pad, 128), lambda b, g: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block, 128), lambda b, g: (b, 0, g)),
-        out_shape=jax.ShapeDtypeStruct((bsz * nb, block, hc), dt),
+        out_specs=out_specs if with_lse else out_specs[0],
+        out_shape=out_shapes if with_lse else out_shapes[0],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(qm, k_t, v_loc, masks, bias, ctab)
+    out, lse_t = res if with_lse else (res, None)
 
-    out = out.reshape(bsz, lay.nbh, lay.nbw, d, lay.th, lay.tw, hc)
-    out = jnp.transpose(out, (0, 3, 1, 4, 2, 5, 6)).reshape(
-        bsz, d, lay.hp, lay.wp, hc
+    out = _untile_nodes(out, lay, bsz, d, h, w).reshape(
+        bsz, d, h, w, heads, ch
     )
-    return out[:, :, :h, :w].reshape(bsz, d, h, w, heads, ch)
+    if not with_lse:
+        return out, None
+    # Folded-lane lse (each head's value broadcast over its ch lanes) ->
+    # per-node per-head values, independent of the tiling so the backward
+    # may retile at a different (th, tw).
+    lse_nodes = _untile_nodes(lse_t, lay, bsz, d, h, w).reshape(
+        bsz, d, h, w, heads, ch
+    )[..., 0]
+    return out, lse_nodes
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _est_bytes_bwd(d, th, tw, kernel, hc, ch, dt_bytes, circular_w, has_bias,
+                   n_cls=9):
+    kd, kh, kw = kernel
+    bh, fh = _axis_halo(kh, False)
+    bw_, fw = _axis_halo(kw, circular_w)
+    block = d * th * tw
+    u = d * (th + bh + fh) * (tw + bw_ + fw)
+    u_pad = -(-u // 128) * 128
+    hpg = 128 // ch
+    wide = hpg * u_pad
+    return (
+        4 * block * wide * 4  # s, p, dp, ds f32 temporaries
+        + (block * wide * (4 + dt_bytes) if has_bias else 0)  # dbias + bias
+        + 2 * 128 * wide * dt_bytes  # kT + khat
+        + 2 * wide * 128 * dt_bytes  # v + vhat
+        + 2 * 128 * wide * 4  # dk/dv full temporaries (f32)
+        + n_cls * block * u_pad  # masks (resident, int8)
+        + 4 * block * 128 * dt_bytes  # q, do, dq, o streams
+        + 2 * block * 128 * 4  # lse, delta (f32)
+        + 2 * 128 * u_pad * dt_bytes  # dkt, dvt outs
+    )
+
+
+def _flash_bwd_kernel(
+    q_ref,  # [1, block, 128] (pre-scaled)
+    kt_ref,  # [1, 128, u_pad]
+    v_ref,  # [1, u_pad, 128]
+    do_ref,  # [1, block, 128]
+    lse_ref,  # [1, block, 128] per-head lse broadcast over head lanes
+    delta_ref,  # [1, block, 128] sum(dO*O) per head, same lane layout
+    mask_ref,  # [n_cls, block, u_pad] int8 (resident)
+    bias_ref,  # [1, block, hpg*u_pad]
+    ctab_ref,  # [nb_pad, 128] int32 (resident)
+    dq_ref,  # [1, block, 128]
+    dkt_ref,  # [1, 128, u_pad] (transposed block-local dk)
+    dvt_ref,  # [1, 128, u_pad]
+    *rest,  # (dbias_ref [1, block, hpg*u_pad] f32,) when has_bias
+    nb,
+    hpg,
+    ch,
+    u_pad,
+    has_bias,
+    scale,
+):
+    if has_bias:
+        (dbias_ref,) = rest
+    b = pl.program_id(1)
+    tile = jax.lax.rem(b, nb)
+    cls = ctab_ref[pl.dslice(tile, 1), pl.dslice(0, 1)][0, 0]
+    msk = mask_ref[pl.dslice(cls, 1), :, :][0]  # [block, u_pad] int8
+
+    kt = kt_ref[0]  # [128, u_pad]
+    row = jax.lax.broadcasted_iota(jnp.int32, kt.shape, 0)
+    khat = jnp.concatenate(
+        [
+            jnp.where((row >= hh * ch) & (row < (hh + 1) * ch), kt, 0)
+            for hh in range(hpg)
+        ],
+        axis=1,
+    )  # [128, hpg*u_pad]
+    s = jax.lax.dot_general(
+        q_ref[0], khat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [block, hpg*u_pad]
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)
+
+    v = v_ref[0]  # [u_pad, 128]
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    vhat = jnp.concatenate(
+        [
+            jnp.where((lane >= hh * ch) & (lane < (hh + 1) * ch), v, 0)
+            for hh in range(hpg)
+        ],
+        axis=0,
+    )  # [hpg*u_pad, 128]
+    do = do_ref[0]  # [block, 128]
+    dp = jax.lax.dot_general(
+        do, vhat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [block, hpg*u_pad]
+
+    pparts = []
+    dsparts = []
+    for hh in range(hpg):
+        sl = s[:, hh * u_pad : (hh + 1) * u_pad]
+        sl = jnp.where(msk != 0, sl, _NEG)
+        lse_h = lse_ref[0][:, hh * ch : hh * ch + 1]
+        p = jnp.exp(sl - lse_h)  # exact zeros at masked/padded slots
+        delta_h = delta_ref[0][:, hh * ch : hh * ch + 1]
+        ds = p * (dp[:, hh * u_pad : (hh + 1) * u_pad] - delta_h)
+        pparts.append(p)
+        dsparts.append(ds)
+    phat = jnp.concatenate(pparts, axis=1)  # [block, hpg*u_pad] f32
+    dshat = jnp.concatenate(dsparts, axis=1)
+
+    if has_bias:
+        # rpb is translation invariant: accumulate dS over every tile and
+        # batch row (consecutive revisits of the same output block along
+        # the innermost grid axis), segment-summed over rel_flat in XLA.
+        @pl.when(b == 0)
+        def _init():
+            dbias_ref[0] = dshat
+
+        @pl.when(b != 0)
+        def _acc():
+            dbias_ref[0] += dshat
+
+    dsc = dshat.astype(kt.dtype)
+    dq = jax.lax.dot_general(
+        dsc, khat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [block, 128]; d(q*scale) -> dq needs the extra *scale
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+    # dk in kT layout: full[r, hh*u_pad+j] = sum_i q_scaled[i, r] ds_h[i, j];
+    # the true rows of head hh are its own lanes — head-diagonal select.
+    dkfull = jax.lax.dot_general(
+        q_ref[0], dsc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [128, hpg*u_pad]
+    dvfull = jax.lax.dot_general(
+        do, phat.astype(do.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [128, hpg*u_pad]
+    rowm = [
+        (row >= hh * ch) & (row < (hh + 1) * ch) for hh in range(hpg)
+    ]
+    dkt = sum(
+        jnp.where(rowm[hh], dkfull[:, hh * u_pad : (hh + 1) * u_pad], 0)
+        for hh in range(hpg)
+    )
+    dvt = sum(
+        jnp.where(rowm[hh], dvfull[:, hh * u_pad : (hh + 1) * u_pad], 0)
+        for hh in range(hpg)
+    )
+    dkt_ref[0] = dkt.astype(dkt_ref.dtype)
+    dvt_ref[0] = dvt.astype(dvt_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, rpb, out, lse_nodes, g, kernel, circular_w,
+                    interpret):
+    bsz, d, h, w, heads, ch = q.shape
+    hc = heads * ch
+    hpg = 128 // ch
+    n_groups = hc // 128
+    dt = q.dtype
+    dt_bytes = 2 if dt == jnp.bfloat16 else 4
+    has_bias = rpb is not None
+
+    chosen = None
+    for th, tw in _candidate_tiles(d, h, w, kernel, bool(circular_w)):
+        if th > h or tw > w:
+            continue
+        est = _est_bytes_bwd(
+            d, th, tw, kernel, hc, ch, dt_bytes, bool(circular_w), has_bias
+        )
+        if est <= _VMEM_BWD_BUDGET:
+            chosen = (th, tw)
+            break
+    if chosen is None:
+        return None  # caller falls back to the XLA VJP
+
+    lay = _build_layout(d, h, w, kernel, bool(circular_w), *chosen)
+    nb = lay.nbh * lay.nbw
+    block, u_pad = lay.block, lay.u_pad
+    scale = ch**-0.5
+
+    qm = _tile_nodes(
+        (q * scale).reshape(bsz, d, h, w, hc).astype(dt), lay, bsz, d, h, w
+    )
+    km = _tile_nodes(k.reshape(bsz, d, h, w, hc), lay, bsz, d, h, w)
+    vm = _tile_nodes(v.reshape(bsz, d, h, w, hc), lay, bsz, d, h, w)
+    dom = _tile_nodes(
+        g.reshape(bsz, d, h, w, hc).astype(dt), lay, bsz, d, h, w
+    )
+    k_loc, v_loc = _gather_halo(km, vm, lay, bsz)
+    k_t = jnp.swapaxes(k_loc, 1, 2)
+
+    delta_nodes = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # [B, D, H, W, heads]
+
+    def fold_scalar(t):
+        tt = jnp.broadcast_to(
+            t[..., None], (bsz, d, h, w, heads, ch)
+        ).reshape(bsz, d, h, w, hc)
+        return _tile_nodes(tt.astype(jnp.float32), lay, bsz, d, h, w)
+
+    lse_m = fold_scalar(lse_nodes)
+    delta_m = fold_scalar(delta_nodes)
+
+    bias, bias_block = _build_bias(rpb, lay, heads, n_groups, hpg, dt)
+    masks = jnp.asarray(lay.masks)
+    ctab = jnp.asarray(lay.cls_tab)
+    n_cls = lay.masks.shape[0]
+    nb_pad = lay.cls_tab.shape[0]
+    bnb = bsz * nb
+
+    out_specs = [
+        pl.BlockSpec((1, block, 128), lambda gg, b: (b, 0, gg)),
+        pl.BlockSpec((1, 128, u_pad), lambda gg, b: (b, gg, 0)),
+        pl.BlockSpec((1, 128, u_pad), lambda gg, b: (b, gg, 0)),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((bnb, block, hc), dt),
+        jax.ShapeDtypeStruct((bnb, hc, u_pad), dt),
+        jax.ShapeDtypeStruct((bnb, hc, u_pad), dt),
+    ]
+    if has_bias:
+        out_specs.append(
+            pl.BlockSpec((1, block, hpg * u_pad), lambda gg, b: (gg, 0, 0))
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (n_groups, block, hpg * u_pad), jnp.float32
+            )
+        )
+
+    res = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_kernel,
+            nb=nb, hpg=hpg, ch=ch, u_pad=u_pad, has_bias=has_bias,
+            scale=scale,
+        ),
+        grid=(n_groups, bnb),
+        in_specs=[
+            pl.BlockSpec((1, block, 128), lambda gg, b: (b, 0, gg)),
+            pl.BlockSpec((1, 128, u_pad), lambda gg, b: (b, gg, 0)),
+            pl.BlockSpec((1, u_pad, 128), lambda gg, b: (b, 0, gg)),
+            pl.BlockSpec((1, block, 128), lambda gg, b: (b, 0, gg)),
+            pl.BlockSpec((1, block, 128), lambda gg, b: (b, 0, gg)),
+            pl.BlockSpec((1, block, 128), lambda gg, b: (b, 0, gg)),
+            pl.BlockSpec((n_cls, block, u_pad), lambda gg, b: (0, 0, 0)),
+            pl.BlockSpec(bias_block, lambda gg, b: (gg, 0, 0)),
+            pl.BlockSpec((nb_pad, 128), lambda gg, b: (0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qm, k_t, v_loc, dom, lse_m, delta_m, masks, bias, ctab)
+    if has_bias:
+        dq_t, dkt, dvt, dbias = res
+    else:
+        dq_t, dkt, dvt = res
+        dbias = None
+
+    dq = _untile_nodes(dq_t, lay, bsz, d, h, w).reshape(
+        bsz, d, h, w, heads, ch
+    )
+
+    # Halo unions overlap between adjacent tiles: scatter-add block-local
+    # dk/dv back to their tiled rows, then untile.
+    ids_flat = jnp.asarray(lay.ids).reshape(-1)
+
+    def scatter(t_loc):
+        t_loc = jnp.swapaxes(t_loc, 1, 2).reshape(
+            bsz, nb * u_pad, hc
+        ).astype(jnp.float32)
+        seg = jax.vmap(
+            lambda t: jax.ops.segment_sum(
+                t, ids_flat, num_segments=nb * block
+            )
+        )(t_loc)
+        return _untile_nodes(
+            seg.reshape(bsz * nb, block, hc).astype(dt), lay, bsz, d, h, w
+        ).reshape(bsz, d, h, w, heads, ch)
+
+    dk = scatter(dkt)
+    dv = scatter(dvt)
+
+    if not has_bias:
+        return dq, dk, dv, None
+    kd, kh, kw = kernel
+    n_rel = (2 * kd - 1) * (2 * kh - 1) * (2 * kw - 1)
+    rel_ids = jnp.asarray(lay.rel_flat).reshape(-1)
+    dbias_heads = (
+        dbias.reshape(n_groups, block, hpg, u_pad)
+        .transpose(0, 2, 1, 3)
+        .reshape(heads, block * u_pad)
+    )
+    drpb = jax.vmap(
+        lambda t: jax.ops.segment_sum(t, rel_ids, num_segments=n_rel)
+    )(dbias_heads)
+    return dq, dk, dv, drpb.reshape(rpb.shape).astype(rpb.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _flash(q, k, v, rpb, kernel, circular_w, th, tw, interpret):
-    return _flash_fwd_impl(q, k, v, rpb, kernel, circular_w, th, tw, interpret)
+    out, _ = _flash_fwd_impl(
+        q, k, v, rpb, kernel, circular_w, th, tw, interpret
+    )
+    return out
 
 
 def _flash_fwd(q, k, v, rpb, kernel, circular_w, th, tw, interpret):
-    out = _flash_fwd_impl(
-        q, k, v, rpb, kernel, circular_w, th, tw, interpret
+    out, lse = _flash_fwd_impl(
+        q, k, v, rpb, kernel, circular_w, th, tw, interpret, with_lse=True
     )
-    return out, (q, k, v, rpb)
+    return out, (q, k, v, rpb, out, lse)
 
 
 def _flash_bwd(kernel, circular_w, th, tw, interpret, res, g):
-    """Gradients via the XLA reference implementation (same function)."""
+    q, k, v, rpb, out, lse = res
+    grads = _flash_bwd_impl(
+        q, k, v, rpb, out, lse, g, kernel, circular_w, interpret
+    )
+    if grads is not None:
+        return grads
+    # No backward tile fits VMEM: differentiate the XLA slot scan instead.
     from graph_weather_tpu.ops.neighborhood_attention import (
         neighborhood_attention_3d_xla,
     )
 
-    q, k, v, rpb = res
     if rpb is None:
         _, vjp = jax.vjp(
             lambda q_, k_, v_: neighborhood_attention_3d_xla(

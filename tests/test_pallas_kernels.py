@@ -683,6 +683,82 @@ class TestNattenFlashPallas:
                 np.asarray(a), np.asarray(b), atol=5e-5, err_msg=f"d{name}"
             )
 
+    @pytest.mark.parametrize(
+        "circular_w,with_rpb,B,heads,ch",
+        [
+            (True, True, 2, 4, 32),  # circular wrap + batch
+            (False, False, 1, 4, 32),  # no learned bias
+            (True, True, 1, 2, 64),  # multi-lane-group (hc=128? no: 2*64)
+            (False, True, 2, 8, 32),  # hc=256: two lane groups
+        ],
+    )
+    def test_hand_backward_kernel(
+        self, circular_w, with_rpb, B, heads, ch, monkeypatch
+    ):
+        """The hand-written backward kernel (not the XLA-VJP fallback)
+        matches the XLA slot-scan gradients for every input, including
+        drpb via the translation-invariant dbias accumulator."""
+        import graph_weather_tpu.ops.pallas.natten_flash as nfmod
+        from graph_weather_tpu.ops.neighborhood_attention import (
+            neighborhood_attention_3d_xla,
+        )
+
+        q, k, v, rng = self._inputs(B=B, D=3, H=7, W=10, heads=heads, ch=ch)
+        kernel = (3, 3, 5)
+        rpb = (
+            jnp.asarray(
+                rng.standard_normal((heads, 5, 5, 9)), jnp.float32
+            )
+            if with_rpb
+            else None
+        )
+
+        # Any fall-through to the XLA VJP is a test failure.
+        calls = {"bwd": 0}
+        real_bwd = nfmod._flash_bwd_impl
+
+        def counting_bwd(*a, **kw):
+            res = real_bwd(*a, **kw)
+            assert res is not None, "hand backward rejected the tile"
+            calls["bwd"] += 1
+            return res
+
+        monkeypatch.setattr(nfmod, "_flash_bwd_impl", counting_bwd)
+
+        def loss_flash(q, k, v, r):
+            return jnp.sum(
+                nfmod.neighborhood_attention_3d_flash(
+                    q, k, v, kernel, r, circular_w, interpret=True
+                )
+                ** 2
+            )
+
+        def loss_xla(q, k, v, r):
+            return jnp.sum(
+                neighborhood_attention_3d_xla(
+                    q, k, v, kernel, r, circular_w
+                )
+                ** 2
+            )
+
+        if with_rpb:
+            g_f = jax.grad(loss_flash, (0, 1, 2, 3))(q, k, v, rpb)
+            g_x = jax.grad(loss_xla, (0, 1, 2, 3))(q, k, v, rpb)
+        else:
+            g_f = jax.grad(
+                lambda q, k, v: loss_flash(q, k, v, None), (0, 1, 2)
+            )(q, k, v)
+            g_x = jax.grad(
+                lambda q, k, v: loss_xla(q, k, v, None), (0, 1, 2)
+            )(q, k, v)
+        assert calls["bwd"] == 1
+        names = "q k v rpb".split()
+        for name, a, b in zip(names, g_f, g_x):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-5,
+                err_msg=f"d{name}",
+            )
+
     def test_unqualified_raises(self):
         from graph_weather_tpu.ops.pallas.natten_flash import (
             neighborhood_attention_3d_flash,
