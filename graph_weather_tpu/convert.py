@@ -708,13 +708,17 @@ def convert_weathermesh(
     params["WeatherMeshEncoder_0"] = enc_p
     stats["WeatherMeshEncoder_0"] = enc_s
 
-    for p_i in range(num_processors):
-        params[f"WeatherMeshProcessor_{p_i}"] = {
+    # Processors live under the rollout scan chain scope ("processors"),
+    # one WeatherMeshProcessor per timestep (models/weathermesh/model.py).
+    params["processors"] = {
+        f"WeatherMeshProcessor_{p_i}": {
             f"NeighborhoodAttention3D_{i}": _wm_natten(
                 sd, f"processors.{p_i}.layers.{i}"
             )
             for i in range(processor_num_layers)
         }
+        for p_i in range(num_processors)
+    }
 
     dec_p: dict = {}
     dec_s: dict = {}

@@ -194,6 +194,31 @@ class WeatherMeshProcessor(nn.Module):
         return x
 
 
+class _ProcessorChain(nn.Module):
+    """One forecast step: every per-timestep processor applied once.
+
+    (carry, None) scan body so the rollout can ride `nn.scan` with
+    broadcast params — see WeatherMesh.__call__.
+    """
+
+    n_timesteps: int
+    latent_dim: int
+    n_layers: int
+    kernel: tuple[int, int, int]
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, latent: jnp.ndarray, _=None):
+        for _i in range(self.n_timesteps):
+            latent = WeatherMeshProcessor(
+                latent_dim=self.latent_dim,
+                n_layers=self.n_layers,
+                kernel=tuple(self.kernel),
+                num_heads=self.num_heads,
+            )(latent)
+        return latent, None
+
+
 @dataclass
 class WeatherMeshEncoderConfig:
     input_channels_2d: int
@@ -398,23 +423,31 @@ class WeatherMesh(nn.Module):
             norm=self.norm,
         )(surface, pressure)
 
-        processors = [
-            WeatherMeshProcessor(
-                latent_dim=self.latent_dim,
-                n_layers=self.processor_num_layers,
-                kernel=tuple(self.kernel),
-                num_heads=self.num_heads,
-            )
-            for _ in self.timesteps
-        ]
-
-        # forecast_steps is trace-time static; repeated calls to the same
-        # module instances share parameters, and XLA deduplicates the
-        # repeated step computation (reference loops in Python eager mode,
-        # weathermesh2.py:142-144).
-        for _ in range(forecast_steps):
-            for proc in processors:
-                latent = proc(latent)
+        # Rollout = `nn.scan` over forecast steps with broadcast params:
+        # the program stays ONE step long however many steps are requested
+        # (the reference loops in Python eager mode, weathermesh2.py:142-
+        # 144; an unrolled-jit translation bloats the XLA program linearly
+        # with the horizon). forecast_steps == 1 calls the chain directly —
+        # same "processors" param scope either way, so a model initialized
+        # at one horizon applies at any other.
+        chain_kwargs = dict(
+            n_timesteps=len(self.timesteps),
+            latent_dim=self.latent_dim,
+            n_layers=self.processor_num_layers,
+            kernel=tuple(self.kernel),
+            num_heads=self.num_heads,
+        )
+        if forecast_steps == 1:
+            latent, _ = _ProcessorChain(
+                **chain_kwargs, name="processors"
+            )(latent)
+        else:
+            latent, _ = nn.scan(
+                _ProcessorChain,
+                variable_broadcast=("params", "batch_stats"),
+                split_rngs={"params": False},
+                length=forecast_steps,
+            )(**chain_kwargs, name="processors")(latent)
 
         surface_out, pressure_out = WeatherMeshDecoder(
             latent_dim=self.latent_dim,
