@@ -50,6 +50,9 @@ class ForecasterModule(nn.Module):
     norm_type: Optional[str] = "LayerNorm"
     n_mesh: int = 5882
     remat: bool = False
+    constraint_type: str = "none"
+    use_thermalizer: bool = False
+    grid_shape: Optional[tuple] = None
 
     @nn.compact
     def __call__(
@@ -59,6 +62,7 @@ class ForecasterModule(nn.Module):
         latent: DeviceGraph,
         m2g: DeviceGraph,
         cached: dict | None = None,
+        t: int = 0,
     ) -> jnp.ndarray:
         x_mesh, latent_edge_feats = Encoder(
             input_dim=self.input_dim,
@@ -81,7 +85,8 @@ class ForecasterModule(nn.Module):
             hidden_layers_processor_edge=self.hidden_layers_processor_edge,
             norm_type=self.norm_type,
             remat=self.remat,
-        )(x_mesh, latent_edge_feats, latent)
+            use_thermalizer=self.use_thermalizer,
+        )(x_mesh, latent_edge_feats, latent, t=t)
         out = Decoder(
             output_dim=self.output_dim,
             node_dim=self.node_dim,
@@ -96,7 +101,22 @@ class ForecasterModule(nn.Module):
         )(x_mesh, m2g, cached=cached)
         # Residual: predict the tendency, add the current state
         # (reference models/layers/decoder.py:92-94).
-        return out + features[..., : self.output_dim]
+        out = out + features[..., : self.output_dim]
+        # Physical conservation constraint on the post-residual output
+        # (reference models/forecast.py:235-247): the low-res reference is
+        # the input state, channel-tiled if the output is wider.
+        if self.constraint_type != "none":
+            from graph_weather_tpu.nn.constraint import PhysicalConstraintLayer
+
+            lr = features[..., : self.feature_dim]
+            if self.output_dim != self.feature_dim:
+                rep = self.output_dim // self.feature_dim
+                lr = jnp.tile(lr, (1, 1, rep))
+            out = PhysicalConstraintLayer(
+                grid_shape=tuple(self.grid_shape),
+                constraint_type=self.constraint_type,
+            )(out, lr)
+        return out
 
 
 @dataclass
@@ -119,9 +139,13 @@ class GraphWeatherForecasterConfig:
     hidden_layers_decoder: int = 2
     norm_type: str = "LayerNorm"
     use_checkpointing: bool = False
+    constraint_type: str = "none"
+    use_thermalizer: bool = False
 
     def build(self) -> "GraphWeatherForecaster":
         return GraphWeatherForecaster(
+            constraint_type=self.constraint_type,
+            use_thermalizer=self.use_thermalizer,
             lat_lons=self.lat_lons,
             resolution=self.resolution,
             feature_dim=self.feature_dim,
@@ -184,6 +208,8 @@ class GraphWeatherForecaster:
         hidden_layers_decoder: int = 2,
         norm_type: str = "LayerNorm",
         use_checkpointing: bool = False,
+        constraint_type: str = "none",
+        use_thermalizer: bool = False,
         latent_graph_order: str = "native",
     ):
         validate_lat_lons(lat_lons)
@@ -192,10 +218,31 @@ class GraphWeatherForecaster:
                 f"latent_graph_order must be 'native' or 'reference', got "
                 f"{latent_graph_order!r}"
             )
+        if constraint_type not in (
+            "none", "additive", "multiplicative", "softmax"
+        ):
+            raise ValueError(f"Unknown constraint type: {constraint_type}")
         self.lat_lons = list(lat_lons)
         self.feature_dim = feature_dim
         self.aux_dim = aux_dim
         self.output_dim = feature_dim if output_dim is None else output_dim
+        self.constraint_type = constraint_type
+        self.use_thermalizer = use_thermalizer
+        # Geographical grid shape for the constraint layer (reference
+        # models/forecast.py:120-123): lat_lons must enumerate a regular
+        # (H, W) grid row-major for the constraint to apply.
+        unique_lats = sorted({lat for lat, _ in self.lat_lons})
+        unique_lons = sorted({lon for _, lon in self.lat_lons})
+        self.grid_shape = (len(unique_lats), len(unique_lons))
+        if (
+            constraint_type != "none"
+            and self.grid_shape[0] * self.grid_shape[1] != len(self.lat_lons)
+        ):
+            raise ValueError(
+                "constraint_type requires lat_lons to enumerate a regular "
+                f"(H, W) grid; got {len(self.lat_lons)} points for "
+                f"grid_shape {self.grid_shape}"
+            )
         self._config = dict(
             resolution=resolution,
             feature_dim=feature_dim,
@@ -211,6 +258,8 @@ class GraphWeatherForecaster:
             hidden_dim_decoder=hidden_dim_decoder,
             hidden_layers_decoder=hidden_layers_decoder,
             norm_type=norm_type,
+            constraint_type=constraint_type,
+            use_thermalizer=use_thermalizer,
             latent_graph_order=latent_graph_order,
         )
 
@@ -246,6 +295,9 @@ class GraphWeatherForecaster:
             norm_type=norm_type,
             n_mesh=mesh.num_cells,
             remat=use_checkpointing,
+            constraint_type=constraint_type,
+            use_thermalizer=use_thermalizer,
+            grid_shape=self.grid_shape,
         )
         self._jit_apply = None
         self._jit_init = None
@@ -257,11 +309,17 @@ class GraphWeatherForecaster:
     def init(self, rng: jax.Array, batch_size: int = 1):
         """Initialize parameters (jitted: one compile instead of 200 eager ops)."""
         if self._jit_init is None:
-            self._jit_init = jax.jit(
-                lambda rng, dummy: self.module.init(
-                    rng, dummy, self.g2m, self.latent, self.m2g
+            def _init(rng, dummy):
+                rngs = (
+                    {"params": rng, "noise": jax.random.fold_in(rng, 1)}
+                    if self.use_thermalizer
+                    else rng
                 )
-            )
+                return self.module.init(
+                    rngs, dummy, self.g2m, self.latent, self.m2g
+                )
+
+            self._jit_init = jax.jit(_init)
         dummy = jnp.zeros(
             (batch_size, self.num_grid_nodes, self.feature_dim + self.aux_dim),
             dtype=jnp.float32,
@@ -274,13 +332,17 @@ class GraphWeatherForecaster:
             self._jit_apply = jax.jit(self.forward_fn())
         return self._jit_apply(params, features)
 
-    def forward_fn(self, compute_dtype=None):
+    def forward_fn(self, compute_dtype=None, t: int = 0, noise_rng=None):
         """A pure (params, features) -> prediction function for jit/grad.
 
         compute_dtype=jnp.bfloat16 runs the whole network in bf16 (params
         cast at entry, output cast back to f32) — the TPU-native policy for
         the memory-bound message-passing pipeline; norms still accumulate
         in f32 internally.
+
+        `t` (trace-time static, reference processor.py:99) and `noise_rng`
+        feed the thermalizer when `use_thermalizer=True`; both are ignored
+        otherwise.
         """
         g2m, latent, m2g = self.g2m, self.latent, self.m2g
         if compute_dtype is not None:
@@ -290,6 +352,14 @@ class GraphWeatherForecaster:
             latent = latent.replace(edge_attr=latent.edge_attr.astype(compute_dtype))
             m2g = m2g.replace(edge_attr=m2g.edge_attr.astype(compute_dtype))
         module = self.module
+        apply_kwargs: dict = {}
+        if self.use_thermalizer:
+            apply_kwargs["t"] = t
+            apply_kwargs["rngs"] = {
+                "noise": noise_rng
+                if noise_rng is not None
+                else jax.random.PRNGKey(0)
+            }
 
         def fn(params, features):
             if compute_dtype is not None:
@@ -300,7 +370,9 @@ class GraphWeatherForecaster:
                     params,
                 )
                 features = features.astype(compute_dtype)
-            out = module.apply(params, features, g2m, latent, m2g)
+            out = module.apply(
+                params, features, g2m, latent, m2g, **apply_kwargs
+            )
             return out.astype(jnp.float32) if compute_dtype is not None else out
 
         return fn
@@ -500,6 +572,8 @@ class GraphWeatherForecaster:
             hidden_dim_decoder=cfg.get("hidden_dim_decoder", 128),
             hidden_layers_decoder=cfg.get("hidden_layers_decoder", 2),
             norm_type=cfg.get("norm_type", "LayerNorm"),
+            constraint_type=cfg.get("constraint_type", "none"),
+            use_thermalizer=cfg.get("use_thermalizer", False),
             latent_graph_order=cfg.get(
                 "latent_graph_order", "native" if native else "reference"
             ),

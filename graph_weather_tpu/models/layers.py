@@ -114,7 +114,13 @@ class Encoder(nn.Module):
 
 
 class Processor(nn.Module):
-    """num_blocks message-passing rounds on the latent hex-mesh graph."""
+    """num_blocks message-passing rounds on the latent hex-mesh graph.
+
+    `use_thermalizer` appends the inference-time diffusion denoise of the
+    latent node features after the message-passing rounds (reference
+    models/layers/processor.py:30,53; noise from the 'noise' RNG
+    collection), with `t` the diffusion timestep.
+    """
 
     node_dim: int = 256
     edge_dim: int = 256
@@ -125,6 +131,7 @@ class Processor(nn.Module):
     hidden_layers_processor_edge: int = 2
     norm_type: Optional[str] = "LayerNorm"
     remat: bool = False
+    use_thermalizer: bool = False
 
     @nn.compact
     def __call__(
@@ -132,6 +139,7 @@ class Processor(nn.Module):
         x_mesh: jnp.ndarray,  # [B, N_mesh, node_dim]
         latent_edge_feats: jnp.ndarray,  # [E, edge_dim] or [B, E, edge_dim]
         latent: DeviceGraph,
+        t: int = 0,
     ) -> jnp.ndarray:
         if latent_edge_feats.ndim == 2:
             latent_edge_feats = jnp.broadcast_to(
@@ -148,6 +156,10 @@ class Processor(nn.Module):
             self.norm_type,
             remat=self.remat,
         )(x_mesh, latent_edge_feats, latent)
+        if self.use_thermalizer:
+            from graph_weather_tpu.nn.thermalizer import ThermalizerLayer
+
+            x_mesh = ThermalizerLayer(input_dim=self.node_dim)(x_mesh, t)
         return x_mesh
 
 

@@ -157,3 +157,67 @@ def test_inference_fn_matches_training_forward(small_model):
     cached = model.precompute_static(params)
     out = jax.jit(model.cached_forward_fn())(params, cached, feats)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("ctype", ["additive", "multiplicative"])
+def test_constraint_end_to_end(ctype):
+    """constraint_type wiring through the FULL model conserves the input's
+    grid mean per channel (reference models/forecast.py:235-247)."""
+    lat_lons = _grid(30)  # regular 6 x 12 grid
+    model = GraphWeatherForecaster(
+        lat_lons, feature_dim=4, aux_dim=2, node_dim=16, edge_dim=16,
+        num_blocks=1, hidden_dim_processor_node=16,
+        hidden_dim_processor_edge=16, hidden_dim_decoder=8,
+        constraint_type=ctype,
+    )
+    assert model.grid_shape == (6, 12)
+    params = model.init(jax.random.PRNGKey(0))
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, len(lat_lons), 6))
+    if ctype == "multiplicative":
+        feats = jnp.abs(feats) + 0.5  # keep means away from the eps floor
+    out = model.apply(params, feats)
+    assert out.shape == (2, len(lat_lons), 4)
+    # Conservation: mean over grid nodes of the output == mean of the input
+    # state (upsampling_factor=1 => the LR reference is the input itself).
+    np.testing.assert_allclose(
+        np.asarray(out.mean(axis=1)),
+        np.asarray(feats[..., :4].mean(axis=1)),
+        atol=1e-4,
+    )
+
+
+def test_constraint_requires_regular_grid():
+    lat_lons = _grid(30)[:-1]  # drop one point: no longer a full grid
+    with pytest.raises(ValueError, match="regular"):
+        GraphWeatherForecaster(
+            lat_lons, feature_dim=4, aux_dim=2, node_dim=16, edge_dim=16,
+            num_blocks=1, constraint_type="additive",
+        )
+
+
+def test_thermalizer_end_to_end():
+    """use_thermalizer wiring: thermalizer params exist, forward is finite,
+    and the output depends on the noise RNG (reference processor.py:126-127)."""
+    lat_lons = _grid(30)
+    model = GraphWeatherForecaster(
+        lat_lons, feature_dim=4, aux_dim=2, node_dim=16, edge_dim=16,
+        num_blocks=1, hidden_dim_processor_node=16,
+        hidden_dim_processor_edge=16, hidden_dim_decoder=8,
+        use_thermalizer=True,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    from flax.traverse_util import flatten_dict
+
+    paths = ["/".join(k) for k in flatten_dict(params["params"])]
+    assert any("Thermalizer" in p for p in paths)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, len(lat_lons), 6))
+    f1 = jax.jit(model.forward_fn(noise_rng=jax.random.PRNGKey(5)))
+    f2 = jax.jit(model.forward_fn(noise_rng=jax.random.PRNGKey(6)))
+    o1, o2 = f1(params, feats), f2(params, feats)
+    assert jnp.all(jnp.isfinite(o1)) and jnp.all(jnp.isfinite(o2))
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    # A later diffusion timestep (more corruption) also changes the output.
+    o3 = jax.jit(model.forward_fn(t=500, noise_rng=jax.random.PRNGKey(5)))(
+        params, feats
+    )
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))
