@@ -35,6 +35,9 @@ Metrics (baselines = first honest-harness measurement, BASELINE.md):
   fgn_member_train_ms                   fwd+bwd+AdamW at the same scale
   weathermesh_fwd_ms_1deg               1 deg, 13 levels, 128-d latent
                                         (r2 anchor: 1041 f32)
+  weathermesh_rollout_ms_per_step       8-step nn.scan rollout, per step
+  weathermesh_train_ms_1deg             fwd+bwd+AdamW through the flash
+                                        NATTEN backward kernel (r4 first)
 
 vs_baseline > 1 always means "better than the anchor" (ratio inverted for
 ms metrics). --quick runs a cut-down subset on tiny grids.
@@ -646,10 +649,8 @@ def metric_genda(quick: bool):
     )
 
 
-def metric_weathermesh(quick: bool):
-    """WeatherMesh forward at 1 deg / 13 pressure levels, bf16."""
+def _make_weathermesh(quick: bool):
     import jax
-    import jax.numpy as jnp
 
     from graph_weather_tpu.models.weathermesh import WeatherMeshConfig
 
@@ -679,19 +680,38 @@ def metric_weathermesh(quick: bool):
     params = jax.jit(
         lambda: model.init(jax.random.PRNGKey(0), surface, pressure, 1)
     )()
+    return model, params, surface, pressure, h, w, levels, latent
 
-    def to_bf16(t):
-        return (
-            t.astype(jnp.bfloat16)
-            if jnp.issubdtype(t.dtype, jnp.floating)
-            else t
-        )
+
+def _wm_bf16(params):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda t: t.astype(jnp.bfloat16)
+        if jnp.issubdtype(t.dtype, jnp.floating)
+        else t,
+        params,
+    )
+
+
+def metric_weathermesh(quick: bool):
+    """WeatherMesh forward at 1 deg / 13 pressure levels, bf16, plus the
+    nn.scan rollout (program size stays flat in the horizon)."""
+    import jax
+    import jax.numpy as jnp
+
+    model, params, surface, pressure, h, w, levels, latent = _make_weathermesh(
+        quick
+    )
 
     @jax.jit
     def fwd(params, surface, pressure):
-        p16 = jax.tree_util.tree_map(to_bf16, params)
         out = model.apply(
-            p16, surface.astype(jnp.bfloat16), pressure.astype(jnp.bfloat16), 1
+            _wm_bf16(params),
+            surface.astype(jnp.bfloat16),
+            pressure.astype(jnp.bfloat16),
+            1,
         )
         return out.surface.astype(jnp.float32)
 
@@ -707,6 +727,89 @@ def metric_weathermesh(quick: bool):
         latent_dim=latent,
         kernel=[3, 5, 5],
         dtype="bfloat16",
+    )
+
+    # Rollout: forecast_steps ride ONE nn.scan (weathermesh/model.py) — the
+    # reference loops processors in Python eager mode (weathermesh2.py:142-144).
+    steps = 2 if quick else 8
+
+    @jax.jit
+    def roll(params, surface, pressure):
+        out = model.apply(
+            _wm_bf16(params),
+            surface.astype(jnp.bfloat16),
+            pressure.astype(jnp.bfloat16),
+            steps,
+        )
+        return out.surface.astype(jnp.float32)
+
+    def body_roll(c, params, surface, pressure):
+        return roll(params, surface.at[0, 0, 0, 0].set(c), pressure)
+
+    ms = _time_ms(
+        body_roll, 2 if quick else 5, args=(params, surface, pressure)
+    )
+    _ms_metric(
+        "weathermesh_rollout_ms_per_step" + ("_quick" if quick else ""),
+        ms / steps,
+        grid=f"{h}x{w}",
+        forecast_steps=steps,
+        total_ms=round(ms, 2),
+        dtype="bfloat16",
+        scan=True,
+    )
+
+
+def metric_weathermesh_train(quick: bool):
+    """WeatherMesh TRAIN step (fwd+bwd+AdamW) at 1 deg / 13 levels, bf16 —
+    the backward runs through the hand-written flash NATTEN backward kernel
+    (ops/pallas/natten_flash.py). Gradients are taken over the 'params'
+    collection only; batch_stats stay frozen (inference-mode BatchNorm,
+    reference weathermesh parity contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graph_weather_tpu.train import make_optimizer, make_train_step
+
+    model, variables, surface, pressure, h, w, levels, latent = (
+        _make_weathermesh(quick)
+    )
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+
+    def fwd(p, surface, pressure):
+        return model.apply(
+            _wm_bf16({"params": p, **rest}),
+            surface.astype(jnp.bfloat16),
+            pressure.astype(jnp.bfloat16),
+            1,
+        )
+
+    def loss_fn(pred, tgt):
+        ts, tp = tgt
+        return jnp.mean(
+            (pred.surface.astype(jnp.float32) - ts) ** 2
+        ) + jnp.mean((pred.pressure.astype(jnp.float32) - tp) ** 2)
+
+    optimizer = make_optimizer(learning_rate=1e-4)
+    opt_state = optimizer.init(params)
+    tgt = (
+        jax.random.normal(jax.random.PRNGKey(3), surface.shape),
+        jax.random.normal(jax.random.PRNGKey(4), pressure.shape),
+    )
+    step = make_train_step(fwd, loss_fn, optimizer)
+    ms = _time_train_ms(
+        step, params, opt_state, 2 if quick else 6, surface, pressure, tgt
+    )
+    _ms_metric(
+        "weathermesh_train_ms_1deg" + ("_quick" if quick else ""),
+        ms,
+        grid=f"{h}x{w}",
+        pressure_levels=levels,
+        latent_dim=latent,
+        dtype="bfloat16",
+        optimizer="adamw",
+        natten_backward="flash",
     )
 
 
@@ -802,6 +905,7 @@ METRICS = {
     "fgn_ensemble": metric_fgn_ensemble,
     "genda": metric_genda,
     "weathermesh": metric_weathermesh,
+    "weathermesh_train": metric_weathermesh_train,
 }
 
 # (name, cold-cost estimate seconds). Order = priority; the parent skips
@@ -815,6 +919,7 @@ FULL_ORDER = [
     ("denoiser_s6", 420),
     ("gencast_train_s6", 540),
     ("weathermesh", 600),
+    ("weathermesh_train", 480),
     ("sampler", 300),
     ("denoiser_s5", 180),
     ("quarter_slice", 300),

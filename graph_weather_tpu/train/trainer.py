@@ -45,6 +45,7 @@ class TrainerConfig:
     skip_non_finite: bool = True
     profile_steps: Optional[tuple[int, int]] = None  # (start, stop)
     profile_dir: str = "/tmp/graph_weather_tpu_profile"
+    sample_every: int = 0  # call sample_hook(step, params) every N steps (0=off)
     shard: bool = False  # DP batch + FSDP params over a device mesh
     multihost: bool = False  # jax.distributed.initialize before meshing
 
@@ -58,9 +59,15 @@ class Trainer:
         loss_fn: Callable,
         config: TrainerConfig = TrainerConfig(),
         metrics_hook: Optional[Callable[[int, dict], None]] = None,
+        sample_hook: Optional[Callable[[int, object], None]] = None,
     ):
         self.config = config
         self.metrics_hook = metrics_hook
+        # Periodic generative-sampling callback (step, params) — the
+        # analogue of the reference's per-epoch SamplingCallback (reference
+        # models/gencast/train.py:221-239); see
+        # wandb_hook.make_gencast_sampling_hook for the image-logging hook.
+        self.sample_hook = sample_hook
         if config.multihost:
             # Multi-host SPMD (replaces the reference's Lightning-DDP
             # launcher, reference train/era5.py:180-187): no-op on
@@ -210,6 +217,13 @@ class Trainer:
                         self.metrics_hook(step, metrics)
                     window_start = time.perf_counter()
                     window_steps = 0
+
+                if (
+                    self.sample_hook
+                    and cfg.sample_every
+                    and step % cfg.sample_every == 0
+                ):
+                    self.sample_hook(step, params)
 
                 if cfg.checkpoint_dir and step % cfg.checkpoint_every == 0:
                     save_checkpoint(

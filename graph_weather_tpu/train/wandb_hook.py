@@ -52,3 +52,105 @@ def make_wandb_hook(
         state["run"].log(metrics, step=step)
 
     return hook
+
+
+def make_gencast_sampling_hook(
+    denoiser,
+    prev_inputs,
+    target_residuals,
+    channels: tuple[int, ...] = (78, 12),
+    channel_names: tuple[str, ...] = ("2m_temperature", "geopotential"),
+    num_steps: int = 20,
+    log_fn: Optional[Callable[[int, dict], None]] = None,
+    compute_dtype=None,
+):
+    """Periodic diffusion-sampling image logger for Trainer.sample_hook.
+
+    The TPU-native analogue of the reference's per-epoch SamplingCallback
+    + plot_sample (reference models/gencast/train.py:189-239): runs the
+    full DPMSolver++2S sampler on one held-out conditioning input, renders
+    prediction-vs-ground-truth panels for the requested channels, and logs
+    them as wandb images (or through an injected `log_fn(step, images)`
+    for custom sinks / tests).
+
+    Args:
+        denoiser: the models.gencast Denoiser whose params are being
+            trained (the handle, not the flax module).
+        prev_inputs: [1, lon, lat, 2*f_in] held-out conditioning input.
+        target_residuals: [1, lon, lat, f_out] matching ground truth.
+        channels: output-channel indices to render.
+        channel_names: captions, parallel to `channels`.
+        num_steps: sampler steps (reference default 20).
+        log_fn: override the wandb image sink; receives (step, {name:
+            figure}) and takes ownership of closing the figures.
+        compute_dtype: optional bf16 sampling policy.
+    """
+    import numpy as np
+
+    from graph_weather_tpu.models.gencast import Sampler
+
+    sampler = Sampler(num_steps=num_steps)
+    sample_fn = None  # jitted lazily so hook construction stays cheap
+
+    def default_log(step: int, figures: dict) -> None:
+        import matplotlib
+
+        del matplotlib
+        import wandb
+
+        wandb.log(
+            {
+                "samples": [
+                    wandb.Image(fig, caption=name)
+                    for name, fig in figures.items()
+                ]
+            },
+            step=step,
+        )
+
+    sink = log_fn if log_fn is not None else default_log
+
+    def hook(step: int, params) -> None:
+        nonlocal sample_fn
+        if jax.process_index() != 0:
+            return
+        if sample_fn is None:
+            sample_fn = jax.jit(
+                sampler.sample_fn(denoiser, compute_dtype=compute_dtype)
+            )
+        key = jax.random.PRNGKey(step)
+        preds = np.asarray(
+            jax.device_get(sample_fn(params, key, prev_inputs))
+        )
+        target = np.asarray(target_residuals)
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        figures = {}
+        for ch, name in zip(channels, channel_names):
+            if ch >= preds.shape[-1]:
+                continue
+            fig, ax = plt.subplots(2)
+            for a, (img, title) in zip(
+                ax,
+                (
+                    (preds[0, :, :, ch], "Diffusion sampling prediction"),
+                    (target[0, :, :, ch], "Ground truth"),
+                ),
+            ):
+                a.imshow(
+                    img.T, origin="lower", cmap="RdBu", vmin=-5, vmax=5
+                )
+                a.set_xticks([])
+                a.set_yticks([])
+                a.set_title(title)
+            figures[name] = fig
+        sink(step, figures)
+        if log_fn is None:
+            for fig in figures.values():
+                plt.close(fig)
+
+    return hook

@@ -147,3 +147,57 @@ def test_wandb_hook_logs_via_mock(monkeypatch):
     hook(10, {"loss": 0.5})
     hook(20, {"loss": 0.25})
     assert logged == [(10, {"loss": 0.5}), (20, {"loss": 0.25})]
+
+
+def test_trainer_sample_hook_cadence(setup):
+    """sample_hook fires every sample_every steps with the live params."""
+    model, params, loss, x, y = setup
+    calls = []
+    trainer = Trainer(
+        model.forward_fn(), loss,
+        TrainerConfig(peak_lr=1e-3, warmup_steps=1, total_steps=10,
+                      log_every=100, sample_every=3),
+        sample_hook=lambda step, p: calls.append(step),
+    )
+    trainer.fit(params, [(x, y)] * 7, num_steps=7)
+    assert calls == [3, 6]
+
+
+def test_gencast_sampling_hook_renders_figures():
+    """make_gencast_sampling_hook samples the diffusion model and hands the
+    prediction-vs-truth figures to the injected sink (reference
+    models/gencast/train.py:189-239 SamplingCallback analogue)."""
+    from graph_weather_tpu.models.gencast import Denoiser
+    from graph_weather_tpu.train.wandb_hook import make_gencast_sampling_hook
+
+    nlon, nlat, f_in, f_out = 16, 8, 3, 2
+    den = Denoiser(
+        grid_lon=np.arange(0.0, 360.0, 360.0 / nlon),
+        grid_lat=np.linspace(-90.0, 90.0, nlat),
+        input_features_dim=f_in,
+        output_features_dim=f_out,
+        hidden_dims=(16, 16),
+        num_blocks=1,
+        num_heads=2,
+        splits=1,
+        num_hops=1,
+        use_edges_features=False,
+    )
+    params = den.init(jax.random.PRNGKey(0))
+    prev = jax.random.normal(jax.random.PRNGKey(1), (1, nlon, nlat, 2 * f_in))
+    target = jax.random.normal(jax.random.PRNGKey(2), (1, nlon, nlat, f_out))
+    sunk = []
+    hook = make_gencast_sampling_hook(
+        den, prev, target,
+        channels=(0, 1), channel_names=("a", "b"), num_steps=3,
+        log_fn=lambda step, figs: sunk.append((step, figs)),
+    )
+    hook(5, params)
+    assert len(sunk) == 1
+    step, figs = sunk[0]
+    assert step == 5 and set(figs) == {"a", "b"}
+    import matplotlib.pyplot as plt
+
+    for fig in figs.values():
+        assert len(fig.axes) == 2
+        plt.close(fig)
