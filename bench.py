@@ -28,6 +28,8 @@ Metrics (baselines = first honest-harness measurement, BASELINE.md):
                                         0.25 deg run: 129,600 grid nodes +
                                         full res-3 mesh (r2 anchor: 139.5)
   gencast_denoiser_batch4_ms_per_sample batch-scaling probe (r2: 23.5)
+  gencast_train_batch4_ms_per_sample    batched TRAIN step per-sample,
+                                        splits 5 (r4 first)
   assimilator_fwd_ms                    4,096 obs -> 1 deg analysis (r1: 27.1)
   forecast_train_step_ms_1deg           fwd+bwd+AdamW, batch 1 (r1: 121)
   fgn_member_fwd_ms                     reference scale 768-d/24-block,
@@ -37,7 +39,10 @@ Metrics (baselines = first honest-harness measurement, BASELINE.md):
                                         (r2 anchor: 1041 f32)
   weathermesh_rollout_ms_per_step       8-step nn.scan rollout, per step
   weathermesh_train_ms_1deg             fwd+bwd+AdamW through the flash
-                                        NATTEN backward kernel (r4 first)
+                                        NATTEN backward kernel (r4: 339.9)
+  forecast_train_step_bf16_ms_1deg      bf16-policy train step (r2: 80.6)
+  forecast_train_ms_quarter_deg_chip_slice  per-chip TRAIN share of the
+                                        8-way 0.25 deg run (r4 first)
 
 vs_baseline > 1 always means "better than the anchor" (ratio inverted for
 ms metrics). --quick runs a cut-down subset on tiny grids.
@@ -69,6 +74,9 @@ BASELINE_MS = {
     "gencast_denoiser_batch4_ms_per_sample": 23.5,
     "fgn_member_fwd_ms": 177.0,
     "weathermesh_fwd_ms_1deg": 1041.0,
+    "weathermesh_train_ms_1deg": 339.9,
+    "gencast_train_batch4_ms_per_sample": 58.7,
+    "forecast_train_step_bf16_ms_1deg": 80.6,
 }
 
 
@@ -338,6 +346,47 @@ def metric_gencast_train(splits: int, hops: int, quick: bool):
     )
 
 
+def metric_gencast_train_batch4(quick: bool):
+    """Batched diffusion TRAIN step (fwd+bwd+AdamW), per-sample ms at
+    batch 4, splits 5 — the batch-amortization story for training (the
+    head-folded kernel layout fetches masks once for all B*h head
+    steps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graph_weather_tpu.train import make_optimizer, make_train_step
+
+    batch = 2 if quick else 4
+    den, params, corrupted, prev, noise, nlon, nlat, f_out = _make_denoiser(
+        quick, 5, 4, batch=batch
+    )
+    fwd = den.forward_fn(compute_dtype=jnp.bfloat16)
+    optimizer = make_optimizer(learning_rate=1e-4)
+    opt_state = optimizer.init(params)
+    target = jax.random.normal(
+        jax.random.PRNGKey(3), (batch, nlon, nlat, f_out)
+    )
+
+    def loss_fn(pred, tgt):
+        return jnp.mean((pred - tgt) ** 2)
+
+    step = make_train_step(fwd, loss_fn, optimizer)
+    ms = _time_train_ms(
+        step, params, opt_state, 3 if quick else 10,
+        corrupted, prev, noise, target,
+    )
+    _ms_metric(
+        "gencast_train_batch4_ms_per_sample" + ("_quick" if quick else ""),
+        ms / batch,
+        grid=f"{nlon}x{nlat}",
+        batch=batch,
+        total_ms=round(ms, 3),
+        dtype="bfloat16",
+        attention_impl="clustered_flash",
+        optimizer="adamw",
+    )
+
+
 def metric_assimilator(quick: bool):
     import jax
     import jax.numpy as jnp
@@ -402,6 +451,66 @@ def metric_train_step(quick: bool):
         grid_nodes=len(lat_lons),
         optimizer="adamw",
         chained_scan=True,
+    )
+    # bf16 compute-policy flavor (params stay f32 in the optimizer; the
+    # forward casts at entry) — the production training configuration.
+    step16 = make_train_step(
+        model.forward_fn(compute_dtype=jnp.bfloat16), loss_obj, optimizer
+    )
+    ms16 = _time_train_ms(
+        step16, params, opt_state, 5 if quick else 20, x, y
+    )
+    _ms_metric(
+        "forecast_train_step_bf16_ms_1deg" + ("_quick" if quick else ""),
+        ms16,
+        grid_nodes=len(lat_lons),
+        optimizer="adamw",
+        dtype="bfloat16",
+        chained_scan=True,
+    )
+
+
+def metric_quarter_slice_train(quick: bool):
+    """TRAIN step (fwd+bwd+AdamW, bf16 policy) on one device's share of
+    the 8-way-sharded 0.25 deg run: the sharded-training extension of the
+    v5p-8 north star (forward-only slice = metric_quarter_slice). The
+    collectives this omits are measured structurally in
+    tests/test_parallel.py::test_quarter_degree_sharded_train_step_lowers."""
+    import jax
+    import jax.numpy as jnp
+
+    from graph_weather_tpu import GraphWeatherForecaster, NormalizedMSELoss
+    from graph_weather_tpu.train import make_optimizer, make_train_step
+
+    if quick:
+        lats = np.arange(-90.0, 90.0, 4.0)
+        lons = np.arange(0.0, 360.0, 8.0)
+        resolution = 2
+    else:
+        lats = np.arange(-90.0, 90.0, 0.25)
+        lons = np.arange(0.0, 360.0, 2.0)  # 720 x 180 = 129,600 nodes
+        resolution = 3
+    lat_lons = [(float(a), float(b)) for a in lats for b in lons]
+    model = GraphWeatherForecaster(
+        lat_lons, feature_dim=78, aux_dim=24, resolution=resolution
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    loss_obj = NormalizedMSELoss(np.ones(78), lat_lons, normalize=True)
+    optimizer = make_optimizer(learning_rate=1e-3)
+    step = make_train_step(
+        model.forward_fn(compute_dtype=jnp.bfloat16), loss_obj, optimizer
+    )
+    opt_state = optimizer.init(params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, len(lat_lons), 102))
+    y = jax.random.normal(jax.random.PRNGKey(2), (1, len(lat_lons), 78))
+    ms = _time_train_ms(step, params, opt_state, 3 if quick else 8, x, y)
+    _ms_metric(
+        "forecast_train_ms_quarter_deg_chip_slice" + ("_quick" if quick else ""),
+        ms,
+        grid_nodes=len(lat_lons),
+        mesh_resolution=resolution,
+        dtype="bfloat16",
+        optimizer="adamw",
     )
 
 
@@ -900,7 +1009,9 @@ METRICS = {
     "assimilator": metric_assimilator,
     "train_step": metric_train_step,
     "quarter_slice": metric_quarter_slice,
+    "quarter_slice_train": metric_quarter_slice_train,
     "denoiser_batch4": metric_denoiser_batch4,
+    "gencast_train_batch4": metric_gencast_train_batch4,
     "fgn": metric_fgn,
     "fgn_ensemble": metric_fgn_ensemble,
     "genda": metric_genda,
@@ -923,8 +1034,10 @@ FULL_ORDER = [
     ("sampler", 300),
     ("denoiser_s5", 180),
     ("quarter_slice", 300),
+    ("quarter_slice_train", 420),
     ("gencast_train", 300),
     ("denoiser_batch4", 240),
+    ("gencast_train_batch4", 300),
     ("genda", 240),
     ("fgn", 600),
     ("fgn_ensemble", 420),

@@ -507,6 +507,41 @@ class GraphWeatherForecaster:
         }
         save_file(flat, os.path.join(path, "model.safetensors"))
 
+    def push_to_hub(
+        self,
+        repo_id: str,
+        params,
+        *,
+        organization: str = None,
+        commit_message: str = "Upload graph_weather_tpu checkpoint",
+        private: bool = True,
+        token: str = None,
+    ):
+        """Upload the hub-format checkpoint to the HuggingFace Hub.
+
+        Mirrors the reference's mid-training pushes (reference
+        train/run.py:531-543, via PyTorchModelHubMixin): serialize with
+        `save_pretrained` into a temp dir, then upload the folder. For
+        periodic mid-training pushes, wrap this in a Trainer
+        `sample_hook`/`metrics_hook`. Raises the underlying network error
+        unchanged in offline environments — nothing is retried or hidden.
+        """
+        import tempfile
+
+        from huggingface_hub import HfApi
+
+        if organization is not None:
+            repo_id = f"{organization}/{repo_id}"
+        api = HfApi(token=token)
+        with tempfile.TemporaryDirectory() as tmp:
+            self.save_pretrained(tmp, params)
+            api.create_repo(repo_id, private=private, exist_ok=True)
+            return api.upload_folder(
+                repo_id=repo_id,
+                folder_path=tmp,
+                commit_message=commit_message,
+            )
+
     @classmethod
     def from_pretrained(cls, repo_id_or_path: str, **overrides):
         """Load a hub-format GraphWeatherForecaster -> (model, params).

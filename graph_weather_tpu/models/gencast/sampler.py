@@ -61,37 +61,42 @@ class Sampler:
 
         return jax.vmap(one)(keys)
 
-    def sample_fn(self, denoiser, compute_dtype=None):
-        """Pure jittable (params, key, prev_inputs) -> residual sample fn.
+    def _make_traj(self, denoiser, compute_dtype=None):
+        """Shared DPMSolver++2S trajectory over EXPLICIT per-step noise.
 
-        compute_dtype=jnp.bfloat16 runs each denoiser evaluation in bf16
-        (solver math — sigmas, Euler/DPM updates — stays f32)."""
+        Returns traj(params, prev_inputs, init_noise, churn_noises) where
+        init_noise is [B, lon, lat, F] and churn_noises is
+        [num_steps-1, B, lon, lat, F] (one per solver iteration, pre-scaled
+        by nothing — S_noise inflation is applied here). Both the key-driven
+        `sample_fn` and the injected-noise parity path (`sample_fn_injected`)
+        run this exact function, so testing the injected path tests the
+        production solver math."""
         fwd = denoiser.forward_fn(compute_dtype=compute_dtype)
         sigmas = self.sigmas()
         gamma_const = min(self.S_churn / self.num_steps, 2**0.5 - 1)
 
-        def fn(params, key, prev_inputs):
+        def traj(params, prev_inputs, init_noise, churn_noises):
             batch = prev_inputs.shape[0]
-            key, init_key = jax.random.split(key)
-            x = sigmas[0] * self._noise(init_key, denoiser, batch)
+            x = sigmas[0] * init_noise
             ones = jnp.ones((batch, 1))
 
-            def churn(x, key, sigma_i):
+            def churn(x, noise, sigma_i):
                 gamma = jnp.where(
                     (self.S_tmin <= sigma_i) & (sigma_i <= self.S_tmax),
                     gamma_const,
                     0.0,
                 )
-                key, nkey = jax.random.split(key)
-                noise = self.S_noise * self._noise(nkey, denoiser, batch)
                 sigma_hat = sigma_i * (gamma + 1.0)
-                x = x + jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma_i**2, 0.0)) * noise
-                return x, key, sigma_hat
+                x = x + jnp.sqrt(
+                    jnp.maximum(sigma_hat**2 - sigma_i**2, 0.0)
+                ) * (self.S_noise * noise)
+                return x, sigma_hat
 
-            def step(carry, i):
+            def step(carry, inp):
                 # DPMSolver++2S midpoint step (all but the last iteration).
-                x, key = carry
-                x, key, sigma_hat = churn(x, key, sigmas[i])
+                i, noise = inp
+                (x,) = carry
+                x, sigma_hat = churn(x, noise, sigmas[i])
                 sigma_next = sigmas[i + 1]
                 denoised = fwd(params, x, prev_inputs, sigma_hat * ones)
 
@@ -104,23 +109,54 @@ class Sampler:
                 denoised_2 = fwd(params, u, prev_inputs, sigma_mid * ones)
                 D = (1.0 - 1.0 / (2.0 * self.r)) * denoised + denoised_2 / (2.0 * self.r)
                 x = sigma_next / sigma_hat * x - (jnp.exp(-h) - 1.0) * D
-                return (x, key), None
+                return (x,), None
 
             if self.num_steps > 2:
-                (x, key), _ = jax.lax.scan(
-                    step, (x, key), jnp.arange(self.num_steps - 2)
+                (x,), _ = jax.lax.scan(
+                    step,
+                    (x,),
+                    (jnp.arange(self.num_steps - 2),
+                     churn_noises[: self.num_steps - 2]),
                 )
             # Final iteration is a single-eval Euler step — unrolled outside
             # the scan so the midpoint denoiser eval is never computed
             # (matches the reference's 2(N-2)+1 eval count,
             # reference models/gencast/sampler.py:90-128).
-            x, key, sigma_hat = churn(x, key, sigmas[self.num_steps - 2])
+            x, sigma_hat = churn(
+                x, churn_noises[self.num_steps - 2], sigmas[self.num_steps - 2]
+            )
             denoised = fwd(params, x, prev_inputs, sigma_hat * ones)
             d = (x - denoised) / sigma_hat
             x = x + d * (sigmas[self.num_steps - 1] - sigma_hat)
             return x
 
+        return traj
+
+    def sample_fn(self, denoiser, compute_dtype=None):
+        """Pure jittable (params, key, prev_inputs) -> residual sample fn.
+
+        compute_dtype=jnp.bfloat16 runs each denoiser evaluation in bf16
+        (solver math — sigmas, Euler/DPM updates — stays f32)."""
+        traj = self._make_traj(denoiser, compute_dtype=compute_dtype)
+
+        def fn(params, key, prev_inputs):
+            batch = prev_inputs.shape[0]
+            keys = jax.random.split(key, self.num_steps)
+            init_noise = self._noise(keys[0], denoiser, batch)
+            churn_noises = jax.vmap(
+                lambda k: self._noise(k, denoiser, batch)
+            )(keys[1:])
+            return traj(params, prev_inputs, init_noise, churn_noises)
+
         return fn
+
+    def sample_fn_injected(self, denoiser, compute_dtype=None):
+        """(params, prev_inputs, init_noise, churn_noises) -> sample, with
+        the per-step isotropic noise passed EXPLICITLY (un-inflated; the
+        S_noise factor is applied inside). Runs the same trajectory as
+        `sample_fn` — used for reference-trajectory parity (injecting the
+        reference run's noise draws) and reproducible re-sampling."""
+        return self._make_traj(denoiser, compute_dtype=compute_dtype)
 
     def sample(self, denoiser, params, prev_inputs, key=None, compute_dtype=None):
         """Generate one residual sample conditioned on the previous 2 steps.

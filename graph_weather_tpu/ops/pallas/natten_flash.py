@@ -57,7 +57,12 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 _SAFE = -1e28
 _VMEM_MODEL_BUDGET = 28 * 2**20  # modeled working set; limit set to 100 MB
-_VMEM_BWD_BUDGET = 28 * 2**20  # backward working set model (more temps)
+# Backward working-set model. The estimate is conservative (it counts
+# every temporary as simultaneously live; Mosaic reuses buffers), and the
+# clamped-W WeatherMesh 1-degree latent ([14,45,90]x128, kernel (3,5,5))
+# needs 30.8 MB at its smallest legal tile — measured to compile and run
+# fine under the 100 MB scoped-vmem limit, so the budget sits above it.
+_VMEM_BWD_BUDGET = 36 * 2**20
 
 
 # ---------------------------------------------------------------------------
@@ -748,22 +753,96 @@ def _flash_bwd_impl(q, k, v, rpb, out, lse_nodes, g, kernel, circular_w,
         bsz, d, h, w, heads, ch
     )
 
-    # Halo unions overlap between adjacent tiles: scatter-add block-local
-    # dk/dv back to their tiled rows, then untile.
-    ids_flat = jnp.asarray(lay.ids).reshape(-1)
+    # Halo unions overlap between adjacent tiles, but the overlap is
+    # STRUCTURED: tile i's halo rows live in tile-aligned chunks
+    # i-1..i+ceil(halo/tile), so splitting the halo axis into tile-sized
+    # chunks makes each chunk's contributions disjoint across tiles. The
+    # scatter-add is then ceil(uh/th)*ceil(uw/tw) shifted dense adds plus
+    # an edge crop/fold — no segment_sum (which cost ~2/3 of the whole
+    # backward's overhead at WeatherMesh 1-degree scale).
+    kd_, kh_, kw_ = kernel
+    bh_, fh_ = _axis_halo(kh_, False)
+    bw_, fw_ = _axis_halo(kw_, bool(circular_w))
+    uh = lay.th + bh_ + fh_
+    uw = lay.tw + bw_ + fw_
+    u = d * uh * uw
+
+    def _overlap_add_axis(x, axis_tiles, axis_halo, tile, n_tiles):
+        """x[..., n_tiles(axis_tiles), u(axis_halo), ...] -> merged axis.
+
+        Returns the tensor with (tiles, halo) collapsed into one extended
+        dense axis of length (n_tiles + n_chunks - 1) * tile, where
+        position p holds the sum of every tile's contribution to absolute
+        row p - back."""
+        uu = x.shape[axis_halo]
+        n_chunks = -(-uu // tile)
+        pad = [(0, 0)] * x.ndim
+        pad[axis_halo] = (0, n_chunks * tile - uu)
+        x = jnp.pad(x, pad)
+        new_shape = (
+            x.shape[:axis_halo]
+            + (n_chunks, tile)
+            + x.shape[axis_halo + 1 :]
+        )
+        x = x.reshape(new_shape)  # [..., n_tiles, n_chunks, tile, ...]
+        out_shape = (
+            x.shape[:axis_tiles]
+            + (n_tiles + n_chunks - 1, tile)
+            + x.shape[axis_halo + 2 :]
+        )
+        out = jnp.zeros(out_shape, x.dtype)
+        idx_all = [slice(None)] * len(out_shape)
+        for c in range(n_chunks):
+            src = jax.lax.index_in_dim(x, c, axis_halo, keepdims=False)
+            idx = list(idx_all)
+            idx[axis_tiles] = slice(c, c + n_tiles)
+            out = out.at[tuple(idx)].add(src)
+        return out.reshape(
+            out_shape[:axis_tiles]
+            + ((n_tiles + n_chunks - 1) * tile,)
+            + out_shape[axis_tiles + 2 :]
+        )
+
+    def _fold_w_circular(x, axis):
+        """Extended dense W axis -> [w] with circular wrap-add.
+
+        Position p on the extended axis is absolute column (p - bw_) % w;
+        the span is < 2w for every legal circular layout (tw + halo <= w,
+        asserted by the tile picker), so one forward fold + the head wrap
+        suffice, both static slices."""
+        ext = x.shape[axis]
+        main = jax.lax.slice_in_dim(x, bw_, min(bw_ + w, ext), axis=axis)
+        if main.shape[axis] < w:
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (0, w - main.shape[axis])
+            main = jnp.pad(main, pad)
+        idx = [slice(None)] * x.ndim
+        for off in range(bw_ + w, ext, w):
+            seg = jax.lax.slice_in_dim(x, off, min(off + w, ext), axis=axis)
+            i2 = list(idx)
+            i2[axis] = slice(0, seg.shape[axis])
+            main = main.at[tuple(i2)].add(seg)
+        head = jax.lax.slice_in_dim(x, 0, bw_, axis=axis)
+        i2 = list(idx)
+        i2[axis] = slice(w - bw_, w)
+        return main.at[tuple(i2)].add(head)
 
     def scatter(t_loc):
-        t_loc = jnp.swapaxes(t_loc, 1, 2).reshape(
-            bsz, nb * u_pad, hc
-        ).astype(jnp.float32)
-        seg = jax.vmap(
-            lambda t: jax.ops.segment_sum(
-                t, ids_flat, num_segments=nb * block
-            )
-        )(t_loc)
-        return _untile_nodes(
-            seg.reshape(bsz * nb, block, hc).astype(dt), lay, bsz, d, h, w
-        ).reshape(bsz, d, h, w, heads, ch)
+        # [bnb, hc, u_pad] -> [bsz, d, nbh, uh, nbw, uw, hc]
+        x = jnp.swapaxes(t_loc, 1, 2)[:, :u].astype(jnp.float32)
+        x = x.reshape(bsz, lay.nbh, lay.nbw, d, uh, uw, hc)
+        x = jnp.transpose(x, (0, 3, 1, 4, 2, 5, 6))
+        # H: overlap-add then crop (clamped; out-of-range rows hold exact
+        # zeros - masked logits zero ds/p columns).
+        x = _overlap_add_axis(x, 2, 3, lay.th, lay.nbh)
+        x = jax.lax.slice_in_dim(x, bh_, bh_ + h, axis=2)
+        # W: overlap-add then crop or circular fold.
+        x = _overlap_add_axis(x, 3, 4, lay.tw, lay.nbw)
+        if circular_w:
+            x = _fold_w_circular(x, 3)
+        else:
+            x = jax.lax.slice_in_dim(x, bw_, bw_ + w, axis=3)
+        return x.astype(dt).reshape(bsz, d, h, w, heads, ch)
 
     dk = scatter(dkt)
     dv = scatter(dvt)

@@ -946,12 +946,103 @@ def generate_weathermesh(out_dir: str, cfg=WEATHERMESH_SMALL) -> str:
     return path
 
 
+def generate_sampler_traj(out_dir: str, cfg=GENCAST_SMALL, num_steps=8) -> str:
+    """Trajectory golden for the full DPMSolver++2S sampler (reference
+    models/gencast/sampler.py:63-130): run the reference Sampler.sample on
+    the reference Denoiser with the per-step isotropic noise draws RECORDED
+    (monkeypatched generator), so the JAX sampler can replay the identical
+    noise through sample_fn_injected and match the multi-step output."""
+    from parity import ref_shims
+
+    ref_shims.install()
+    ref_shims.add_reference_to_path()
+    import torch
+
+    from graph_weather.models.gencast.denoiser import Denoiser as RefDenoiser
+    from graph_weather.models.gencast import sampler as ref_sampler_mod
+
+    torch.manual_seed(0)
+    jrng = np.random.default_rng(123)
+    grid_lon = np.sort(
+        np.arange(0.0, 360.0, 360.0 / cfg["nlon"])
+        + jrng.uniform(0.05, 0.45, cfg["nlon"])
+    )
+    grid_lat = np.sort(
+        np.linspace(-89.0, 89.0, cfg["nlat"])
+        + jrng.uniform(-0.45, 0.45, cfg["nlat"])
+    )
+    model = RefDenoiser(
+        grid_lon=grid_lon,
+        grid_lat=grid_lat,
+        input_features_dim=cfg["input_features_dim"],
+        output_features_dim=cfg["output_features_dim"],
+        hidden_dims=list(cfg["hidden_dims"]),
+        num_blocks=cfg["num_blocks"],
+        num_heads=cfg["num_heads"],
+        splits=cfg["splits"],
+        num_hops=cfg["num_hops"],
+        use_edges_features=cfg["use_edges_features"],
+    )
+    model.eval()
+
+    # Pre-draw every per-step noise (flat normal; the isotropy of the
+    # draws is irrelevant to SOLVER parity) and replay them in order.
+    rng = np.random.default_rng(7)
+    draws = [
+        rng.standard_normal(
+            (cfg["nlon"], cfg["nlat"], cfg["output_features_dim"])
+        ).astype(np.float32)
+        for _ in range(num_steps)
+    ]
+    it = iter(list(draws))
+    orig = ref_sampler_mod.generate_isotropic_noise
+    ref_sampler_mod.generate_isotropic_noise = (
+        lambda num_lon, num_lat, num_samples=1, **kw: next(it)
+    )
+    try:
+        sampler = ref_sampler_mod.Sampler(num_steps=num_steps)
+        prev = rng.standard_normal(
+            (1, cfg["nlon"], cfg["nlat"], 2 * cfg["input_features_dim"])
+        ).astype(np.float32)
+        with torch.no_grad():
+            out = sampler.sample(model, torch.tensor(prev)).numpy()
+    finally:
+        ref_sampler_mod.generate_isotropic_noise = orig
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "sampler_traj_small.npz")
+    np.savez_compressed(
+        path,
+        __prev__=prev,
+        __noises__=np.stack(draws),
+        __output__=out,
+        __num_steps__=np.array([num_steps]),
+        __grid_lon__=grid_lon,
+        __grid_lat__=grid_lat,
+        __config__=np.array(
+            [
+                cfg["nlon"], cfg["nlat"], cfg["input_features_dim"],
+                cfg["output_features_dim"], cfg["hidden_dims"][0],
+                len(cfg["hidden_dims"]), cfg["num_blocks"], cfg["num_heads"],
+                cfg["splits"], cfg["num_hops"],
+                float(cfg["use_edges_features"]),
+            ],
+            dtype=np.float64,
+        ),
+        **sd,
+    )
+    print(f"wrote {path}: sample mean {out.mean():+.6f} std {out.std():.6f}")
+    return path
+
+
 GENERATORS = {
     "forecaster": generate_forecaster,
     "graphcast": generate_graphcast,
     "fengwu_ghr": generate_fengwu,
     "weathermesh": generate_weathermesh,
     "gencast": generate_gencast,
+    "sampler_traj": generate_sampler_traj,
     "fgn": generate_fgn,
     "genda": generate_genda,
     "cafa": generate_cafa,

@@ -338,8 +338,8 @@ class TestSamplerNumerics:
         prev = jnp.zeros((2, den.num_lon, den.num_lat, 6))
         out = sampler.sample_fn(den)(None, key, prev)
         # Reconstruct the initial state x(sigma_max) the same way sample_fn
-        # does (first key split -> isotropic init noise).
-        _, init_key = jax.random.split(key)
+        # does (num_steps upfront key splits; keys[0] -> init noise).
+        init_key = jax.random.split(key, sampler.num_steps)[0]
         x0 = sampler.sigmas()[0] * sampler._noise(init_key, den, 2)
         return np.asarray(out), np.asarray(x0), sampler
 

@@ -426,3 +426,162 @@ class TestProductionDimCompileOnly:
         )
         found = self._collectives(lowered.as_text())
         assert any("gather" in f for f in found), found
+
+    def test_quarter_degree_sharded_train_step_lowers(self):
+        """0.25-deg TRAIN step (fwd+bwd+AdamW through the grid-node-sharded
+        forward): the sharded-training extension of the v5p-8 north star.
+        Asserts the SPMD program carries both gathers (processor halo /
+        decoder) and reductions (gradient psum across the model axis)."""
+        from graph_weather_tpu.parallel import make_mesh, make_spatial_forward
+        from graph_weather_tpu.train import make_optimizer, make_train_step
+
+        lat_lons = [
+            (float(a), float(b))
+            for a in np.arange(-90.0, 90.0, 0.25)
+            for b in np.arange(0.0, 360.0, 0.25)
+        ]
+        model = GraphWeatherForecaster(
+            lat_lons, feature_dim=78, aux_dim=24, resolution=3
+        )
+        mesh = make_mesh(8, data_axis=1)
+        fwd = make_spatial_forward(model, mesh, compute_dtype=jnp.bfloat16)
+        loss_obj = NormalizedMSELoss(np.ones(78), lat_lons, normalize=True)
+        opt = make_optimizer(learning_rate=1e-4)
+        step = make_train_step(fwd, loss_obj, opt)
+
+        params = jax.eval_shape(
+            lambda r: model.module.init(
+                r,
+                jnp.zeros((1, model.num_grid_nodes, 102)),
+                model.g2m, model.latent, model.m2g,
+            ),
+            jax.random.PRNGKey(0),
+        )
+        opt_state = jax.eval_shape(opt.init, params)
+        lowered = jax.jit(step).lower(
+            params,
+            opt_state,
+            jax.ShapeDtypeStruct((1, len(lat_lons), 102), jnp.float32),
+            jax.ShapeDtypeStruct((1, len(lat_lons), 78), jnp.float32),
+        )
+        found = self._collectives(lowered.as_text())
+        assert any("gather" in f for f in found), found
+        assert any("reduce" in f for f in found), found
+
+
+class TestAttentionFamiliesDP:
+    """DP exact-match for the attention model families (WeatherMesh, CaFA,
+    Aurora, FengWu-GHR, Regional): batch sharded over the "data" axis,
+    params replicated — outputs must equal the unsharded forward. (The
+    graph families' sharded coverage lives above; reference-side
+    distribution is hidden inside Lightning, SURVEY §2.8.)"""
+
+    def _mesh(self):
+        return make_mesh(8, data_axis=4)
+
+    def _check(self, fn, params, *batch):
+        ref = jax.jit(fn)(params, *batch)
+        mesh = self._mesh()
+        sharded = shard_batch(tuple(batch), mesh)
+        out = jax.jit(fn)(params, *sharded)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            ),
+            ref, out,
+        )
+
+    def test_weathermesh_dp(self):
+        from graph_weather_tpu.models.weathermesh import WeatherMeshConfig
+
+        cfg = WeatherMeshConfig(
+            timesteps=[6], surface_channels=4, pressure_channels=3,
+            pressure_levels=4, latent_dim=16, encoder_num_conv_blocks=2,
+            encoder_num_transformer_layers=1, encoder_hidden_dim=4,
+            decoder_num_conv_blocks=2, decoder_num_transformer_layers=1,
+            decoder_hidden_dim=4, processor_num_layers=1, kernel=(3, 3, 3),
+            num_heads=2,
+        )
+        model = cfg.build()
+        surface = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 4))
+        pressure = jax.random.normal(jax.random.PRNGKey(2), (4, 4, 16, 16, 3))
+        params = jax.jit(
+            lambda: model.init(jax.random.PRNGKey(0), surface, pressure, 1)
+        )()
+        fn = lambda p, s, pr: model.apply(p, s, pr, 1)
+        # Ground truth = stacked per-sample forwards: the DP-sharded program
+        # computes exactly these (each device holds whole samples), while a
+        # batch-4 UNSHARDED forward drifts ~5e-4 from per-sample through
+        # XLA's batched-conv reassociation — so that's the wrong oracle.
+        refs = [
+            jax.jit(fn)(params, surface[i : i + 1], pressure[i : i + 1])
+            for i in range(4)
+        ]
+        ref = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *refs
+        )
+        mesh = self._mesh()
+        s_s, p_s = shard_batch((surface, pressure), mesh)
+        out = jax.jit(fn)(params, s_s, p_s)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            ),
+            ref, out,
+        )
+
+    def test_cafa_dp(self):
+        from graph_weather_tpu.models.cafa import CaFAForecaster
+
+        model = CaFAForecaster(
+            input_channels=3, output_channels=2, model_dim=16,
+            downsampling_factor=2, processor_depth=1, num_heads=2, dim_head=8,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 16, 32))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        self._check(model.apply, params, x)
+
+    def test_aurora_dp(self):
+        from graph_weather_tpu.models.aurora import AuroraModel
+
+        model = AuroraModel(
+            input_features=3, output_features=2, latent_dim=16, num_layers=1,
+        )
+        rng = np.random.default_rng(0)
+        points = jnp.asarray(rng.uniform(-90, 90, (4, 20, 2)), jnp.float32)
+        feats = jnp.asarray(rng.normal(size=(4, 20, 3)), jnp.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), points, feats)
+        self._check(model.apply, params, points, feats)
+
+    def test_fengwu_dp(self):
+        from graph_weather_tpu.models.fengwu_ghr import ImageMetaModel
+
+        model = ImageMetaModel(
+            image_size=(8, 8), patch_size=(2, 2), depth=1, heads=2,
+            mlp_dim=16, channels=3, dim_head=8,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 3, 8, 8))
+        params = jax.jit(model.init)(jax.random.PRNGKey(1), x)
+        self._check(model.apply, params, x)
+
+    def test_regional_dp(self):
+        from graph_weather_tpu.models.regional import RegionalForecasterConfig
+
+        rng = np.random.default_rng(0)
+        ll = [
+            (float(a), float(b))
+            for a, b in zip(rng.uniform(20, 60, 40), rng.uniform(10, 80, 40))
+        ]
+        cfg = RegionalForecasterConfig(
+            feature_dim=4, aux_dim=2, node_dim=16, edge_dim=16, num_blocks=1,
+            hidden_dim_processor_node=16, hidden_dim_processor_edge=16,
+            hidden_dim_decoder=8,
+        )
+        rf = cfg.build()
+        params = rf.init(jax.random.PRNGKey(0), ll, batch_size=4)
+        feats = jnp.asarray(rng.normal(size=(4, len(ll), 6)), jnp.float32)
+        ref = rf(params, feats, ll)
+        mesh = self._mesh()
+        (feats_s,) = shard_batch((feats,), mesh)
+        out = rf(params, feats_s, ll)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)

@@ -252,6 +252,51 @@ class TestForecasterHub:
             np.asarray(model2.apply(params2, x)),
         )
 
+    def test_push_to_hub_uploads_hub_layout(self, monkeypatch):
+        """push_to_hub (reference train/run.py:531-543) serializes the
+        hub directory and uploads it; the network client is mocked — we
+        assert the folder handed to upload_folder has the loadable
+        layout."""
+        pytest.importorskip("safetensors.numpy")
+        import huggingface_hub
+
+        calls = {}
+
+        class FakeApi:
+            def __init__(self, token=None):
+                calls["token"] = token
+
+            def create_repo(self, repo_id, private=True, exist_ok=False):
+                calls["create"] = (repo_id, private, exist_ok)
+
+            def upload_folder(self, repo_id, folder_path, commit_message):
+                calls["upload"] = (repo_id, commit_message)
+                calls["files"] = sorted(os.listdir(folder_path))
+                # Load back from the staged folder to prove it is a
+                # valid checkpoint, not just two file names.
+                _, params2 = GraphWeatherForecaster.from_pretrained(
+                    folder_path
+                )
+                calls["n_leaves"] = len(jax.tree_util.tree_leaves(params2))
+                return "https://hub/fake/commit"
+
+        monkeypatch.setattr(huggingface_hub, "HfApi", FakeApi)
+        model = self._tiny_model()
+        params = model.init(jax.random.PRNGKey(0))
+        url = model.push_to_hub(
+            "graph-weather-forecaster-2.0deg", params,
+            organization="openclimatefix", commit_message="Add model",
+        )
+        assert url == "https://hub/fake/commit"
+        assert calls["create"] == (
+            "openclimatefix/graph-weather-forecaster-2.0deg", True, True
+        )
+        assert calls["upload"] == (
+            "openclimatefix/graph-weather-forecaster-2.0deg", "Add model"
+        )
+        assert calls["files"] == ["config.json", "model.safetensors"]
+        assert calls["n_leaves"] == len(jax.tree_util.tree_leaves(params))
+
     @pytest.mark.skipif(
         not os.path.exists(GOLDEN), reason="golden not generated"
     )
@@ -717,3 +762,56 @@ def test_weathermesh_matches_torch_reference_golden():
     rmse_p = np.sqrt(((out_pressure - exp_p) ** 2).mean(axis=(0, 2, 3, 4)))
     assert rmse_s.max() < 1e-5, rmse_s
     assert rmse_p.max() < 1e-5, rmse_p
+
+
+SAMPLER_TRAJ_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "goldens", "sampler_traj_small.npz"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SAMPLER_TRAJ_GOLDEN), reason="golden not generated"
+)
+def test_sampler_trajectory_matches_torch_reference_golden():
+    """Full multi-step sampler parity (reference models/gencast/sampler.py:
+    63-130): replay the reference run's per-step noise draws through
+    sample_fn_injected (the SAME trajectory production sample_fn runs) on
+    converted weights — checks the DPMSolver++2S math (churn gating, noise
+    inflation, sigma schedule, midpoint + final Euler steps), not just a
+    single denoiser eval."""
+    from graph_weather_tpu.convert import convert_denoiser
+    from graph_weather_tpu.models.gencast import Denoiser, Sampler
+
+    data = np.load(SAMPLER_TRAJ_GOLDEN)
+    (nlon, nlat, f_in, f_out, hid, n_hidden, num_blocks, num_heads,
+     splits, num_hops, use_edges) = data["__config__"]
+    num_steps = int(data["__num_steps__"][0])
+    den = Denoiser(
+        grid_lon=data["__grid_lon__"],
+        grid_lat=data["__grid_lat__"],
+        input_features_dim=int(f_in),
+        output_features_dim=int(f_out),
+        hidden_dims=(int(hid),) * int(n_hidden),
+        num_blocks=int(num_blocks),
+        num_heads=int(num_heads),
+        splits=int(splits),
+        num_hops=int(num_hops),
+        use_edges_features=bool(use_edges),
+        mesh_orientation="graphcast",
+        node_layout="reference",
+    )
+    sd = {k: data[k] for k in data.files if not k.startswith("__")}
+    params = convert_denoiser(
+        sd, num_blocks=int(num_blocks), mlp_hidden_dims=int(n_hidden)
+    )
+
+    noises = jnp.asarray(data["__noises__"])[:, None]  # [S, 1, lon, lat, F]
+    sampler = Sampler(num_steps=num_steps)
+    fn = jax.jit(sampler.sample_fn_injected(den))
+    out = np.asarray(
+        fn(params, jnp.asarray(data["__prev__"]), noises[0], noises[1:])
+    )
+    expected = data["__output__"]
+    assert out.shape == expected.shape
+    rmse = np.sqrt(((out - expected) ** 2).mean())
+    assert rmse < 1e-4, rmse
