@@ -243,6 +243,17 @@ class GraphWeatherForecaster:
                 f"(H, W) grid; got {len(self.lat_lons)} points for "
                 f"grid_shape {self.grid_shape}"
             )
+        # The low-res constraint reference is the input state channel-tiled
+        # to output width (reference models/forecast.py:235-247) — that
+        # tiling is only defined for an integer channel multiple.
+        if constraint_type != "none" and (
+            self.output_dim % feature_dim != 0
+        ):
+            raise ValueError(
+                "constraint_type requires output_dim to be a positive "
+                f"integer multiple of feature_dim; got output_dim="
+                f"{self.output_dim}, feature_dim={feature_dim}"
+            )
         self._config = dict(
             resolution=resolution,
             feature_dim=feature_dim,
@@ -355,11 +366,21 @@ class GraphWeatherForecaster:
         apply_kwargs: dict = {}
         if self.use_thermalizer:
             apply_kwargs["t"] = t
-            apply_kwargs["rngs"] = {
-                "noise": noise_rng
-                if noise_rng is not None
-                else jax.random.PRNGKey(0)
-            }
+            if noise_rng is None:
+                # The reference draws fresh torch.randn per call
+                # (layers/thermalizer.py); a fixed key makes every forward
+                # draw IDENTICAL noise — fine for deterministic tests, a
+                # silent bug for ensembles, so say so.
+                import warnings
+
+                warnings.warn(
+                    "use_thermalizer=True with no noise_rng: falling back "
+                    "to a fixed PRNGKey(0); every call will draw identical "
+                    "thermalizer noise. Pass noise_rng for fresh draws.",
+                    stacklevel=2,
+                )
+                noise_rng = jax.random.PRNGKey(0)
+            apply_kwargs["rngs"] = {"noise": noise_rng}
 
         def fn(params, features):
             if compute_dtype is not None:

@@ -186,6 +186,20 @@ def _candidate_tiles(d, h, w, kernel, circular_w):
     return sorted(cands, key=lambda c: (ratio(c), -c[0] * c[1]))
 
 
+def _n_cls(h, w, kernel, th, tw, circular_w):
+    """Exact mask-class count for a (th, tw) tiling — n_h * n_w distinct
+    per-axis validity patterns (see _build_layout). Cheap host numpy; the
+    VMEM estimators must use this rather than a constant: layouts whose
+    clamped halo spans >1 tile produce more than 3 classes per axis, and
+    an undercount lets the tile picker choose a tile whose resident mask
+    buffer blows the scoped-vmem limit at compile time."""
+    _, kh, kw = kernel
+    nbh, nbw = -(-h // th), -(-w // tw)
+    _, pats_h, _ = _axis_tile_patterns(h, nbh * th, kh, th, False)
+    _, pats_w, _ = _axis_tile_patterns(w, nbw * tw, kw, tw, circular_w)
+    return len(pats_h) * len(pats_w)
+
+
 def _est_bytes(d, th, tw, kernel, hc, ch, dt_bytes, circular_w, n_cls=9):
     kd, kh, kw = kernel
     bh, fh = _axis_halo(kh, False)
@@ -653,7 +667,8 @@ def _flash_bwd_impl(q, k, v, rpb, out, lse_nodes, g, kernel, circular_w,
         if th > h or tw > w:
             continue
         est = _est_bytes_bwd(
-            d, th, tw, kernel, hc, ch, dt_bytes, bool(circular_w), has_bias
+            d, th, tw, kernel, hc, ch, dt_bytes, bool(circular_w), has_bias,
+            n_cls=_n_cls(h, w, kernel, th, tw, bool(circular_w)),
         )
         if est <= _VMEM_BWD_BUDGET:
             chosen = (th, tw)
@@ -943,7 +958,8 @@ def neighborhood_attention_3d_flash(
         if th > h or tw > w:
             continue
         est = _est_bytes(
-            d, th, tw, kernel, hc, ch, dt_bytes, bool(circular_w)
+            d, th, tw, kernel, hc, ch, dt_bytes, bool(circular_w),
+            n_cls=_n_cls(h, w, kernel, th, tw, bool(circular_w)),
         )
         if est <= _VMEM_MODEL_BUDGET:
             chosen = (th, tw)

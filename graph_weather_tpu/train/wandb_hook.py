@@ -63,6 +63,7 @@ def make_gencast_sampling_hook(
     num_steps: int = 20,
     log_fn: Optional[Callable[[int, dict], None]] = None,
     compute_dtype=None,
+    run=None,
 ):
     """Periodic diffusion-sampling image logger for Trainer.sample_hook.
 
@@ -84,6 +85,11 @@ def make_gencast_sampling_hook(
         log_fn: override the wandb image sink; receives (step, {name:
             figure}) and takes ownership of closing the figures.
         compute_dtype: optional bf16 sampling policy.
+        run: optional wandb Run to log images into. Pass the same run
+            make_wandb_hook logs metrics through — with reinit or multiple
+            live runs, the module-level ``wandb.log`` can land images in a
+            different (or no) run than the metrics. Defaults to the active
+            ``wandb.run`` at log time, falling back to ``wandb.log``.
     """
     import numpy as np
 
@@ -98,15 +104,17 @@ def make_gencast_sampling_hook(
         del matplotlib
         import wandb
 
-        wandb.log(
-            {
-                "samples": [
-                    wandb.Image(fig, caption=name)
-                    for name, fig in figures.items()
-                ]
-            },
-            step=step,
-        )
+        images = {
+            "samples": [
+                wandb.Image(fig, caption=name)
+                for name, fig in figures.items()
+            ]
+        }
+        target = run if run is not None else wandb.run
+        if target is not None:
+            target.log(images, step=step)
+        else:
+            wandb.log(images, step=step)
 
     sink = log_fn if log_fn is not None else default_log
 
