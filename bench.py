@@ -1,19 +1,30 @@
 """Benchmark suite: one JSON line per metric; headline runs FIRST and its
 line is RE-EMITTED last (the driver parses the final JSON line).
 
-Robustness contract (round-3 rework, after BENCH_r02 was truncated at
-rc=124):
+Robustness contract (round-5 rework, after BENCH_r02 and BENCH_r04 were
+both truncated at rc=124 — the driver's outer wall-clock kill preempted
+the internal skip loop, losing the end-of-run re-emit and leaving six
+metrics with no driver record at all):
   - the HEADLINE metric (forecast steps/sec at 1 deg, tracked since round
     1) runs first so it is always captured, and is printed again as the
     final line so last-line parsers keep tracking it;
-  - a total time budget (env BENCH_BUDGET_S, default 2400 s) is enforced
-    by the parent: each metric has a cost estimate and is skipped (with a
-    stderr note) when the remaining budget cannot cover it;
-  - each metric runs in its own subprocess (clean HBM, isolated failures)
-    and is retried ONCE on nonzero exit (transient axon-tunnel
-    FAILED_PRECONDITION errors) when the budget allows;
-  - subprocesses inherit a persistent JAX compilation cache dir so warm
-    runs skip the remote-compile cost.
+  - metrics run GROUPED in subprocesses (one per model family, sharing
+    imports/graph builds) with INHERITED stdout — every finished metric's
+    line is already in the driver's capture even if the group (or the
+    whole run) is later killed;
+  - the internal budget (env BENCH_BUDGET_S, default 2040 s) is strictly
+    below the driver's observed outer kill window, with a scheduling
+    reserve so the parent always reaches its end-of-run summary;
+  - the run ends with a COMPACT summary re-emitting every captured metric
+    without detail: the driver records only the last ~2000 chars of
+    stdout, and the summary guarantees all metrics fit that window;
+  - full-detail results are also written to BENCH_DETAIL.json;
+  - timings go through AOT lower/compile so each program compiles exactly
+    once, hits the persistent compilation cache across rounds (verified:
+    cache entries hit across subprocess and round boundaries on the axon
+    tunnel), and exposes XLA cost analysis — every ms metric's detail
+    carries gflop / achieved TFLOP/s / est. HBM GB/s / roofline %
+    (v5e peaks: 197 TFLOP/s bf16, 0.82 TB/s HBM).
 
 Metrics (baselines = first honest-harness measurement, BASELINE.md):
   forecast_fwd_loss_steps_per_sec_1deg  HEADLINE (r1: 36.255 steps/s)
@@ -93,6 +104,41 @@ def _fetch(x) -> float:
     return float(np.asarray(jax.device_get(x)).ravel()[0])
 
 
+# v5e single-chip peaks for the roofline columns (scaling-book numbers).
+_PEAK_TFLOPS_BF16 = 197.0
+_PEAK_HBM_GBS = 820.0
+
+# Cost/compile info captured by the most recent _time_ms/_time_train_ms
+# call; _emit folds it into the next metric line's detail.
+_LAST: dict = {}
+
+
+def _aot(scan_fn, n_iter, example_args):
+    """Lower+compile `scan_fn` once (AOT), record compile wall time and
+    XLA cost analysis (per-iteration: XLA counts a while-loop body ONCE,
+    verified on this backend), and return the compiled callable.
+
+    The AOT path consults the persistent compilation cache with the same
+    key as jit dispatch would, so warm rounds skip the remote compile."""
+    _LAST.clear()
+    t0 = time.perf_counter()
+    compiled = scan_fn.lower(*example_args).compile()
+    _LAST["compile_s"] = round(time.perf_counter() - t0, 1)
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        if flops > 0:
+            _LAST["gflop"] = round(flops / n_iter / 1e9, 2)
+        if byts > 0:
+            _LAST["gbytes"] = byts / n_iter / 1e9
+    except Exception:  # cost analysis is best-effort
+        pass
+    return compiled
+
+
 def _time_ms(body, n_iter: int, args=()) -> float:
     """Time `body` chained n_iter times inside one jitted lax.scan.
 
@@ -122,15 +168,20 @@ def _time_ms(body, n_iter: int, args=()) -> float:
 
         return jax.lax.scan(step, seed, None, length=n_iter)[0]
 
-    _fetch(scan_fn(jnp.float32(0.0), *args))  # compile + warm
+    compiled = _aot(scan_fn, n_iter, (jnp.float32(0.0),) + tuple(args))
+    _fetch(compiled(jnp.float32(0.0), *args))  # warm (transfers, alloc)
     triv = jax.jit(lambda s: s + 1.0)
     _fetch(triv(jnp.float32(0.5)))
     t0 = time.perf_counter()
     _fetch(triv(jnp.float32(1.5)))
     overhead = time.perf_counter() - t0
     t0 = time.perf_counter()
-    _fetch(scan_fn(jnp.float32(1.0), *args))
-    return (time.perf_counter() - t0 - overhead) / n_iter * 1000.0
+    _fetch(compiled(jnp.float32(1.0), *args))
+    # Floor at 5 us: on tiny --quick shapes the calibrated dispatch
+    # overhead can exceed the measured time, which would go negative.
+    return max(
+        (time.perf_counter() - t0 - overhead) / n_iter * 1000.0, 0.005
+    )
 
 
 def _time_train_ms(step, params, opt_state, n_iter: int, *batch) -> float:
@@ -153,38 +204,62 @@ def _time_train_ms(step, params, opt_state, n_iter: int, *batch) -> float:
         )
         return s
 
-    _fetch(scan_fn(jnp.float32(0.0), params, opt_state, *batch))
+    compiled = _aot(
+        scan_fn, n_iter, (jnp.float32(0.0), params, opt_state) + batch
+    )
+    _fetch(compiled(jnp.float32(0.0), params, opt_state, *batch))
     triv = jax.jit(lambda s: s + 1.0)
     _fetch(triv(jnp.float32(0.5)))
     t0 = time.perf_counter()
     _fetch(triv(jnp.float32(1.5)))
     overhead = time.perf_counter() - t0
     t0 = time.perf_counter()
-    _fetch(scan_fn(jnp.float32(1.0), params, opt_state, *batch))
-    return (time.perf_counter() - t0 - overhead) / n_iter * 1000.0
+    _fetch(compiled(jnp.float32(1.0), params, opt_state, *batch))
+    return max(
+        (time.perf_counter() - t0 - overhead) / n_iter * 1000.0, 0.005
+    )
 
 
 def _emit(metric: str, value: float, unit: str, vs_baseline: float, **detail):
     import jax
 
     detail.setdefault("device", str(jax.devices()[0]))
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 3),
-                "unit": unit,
-                "vs_baseline": round(vs_baseline, 3),
-                "detail": detail,
-            }
-        ),
-        flush=True,
+    line = json.dumps(
+        {
+            "metric": metric,
+            "value": round(value, 3),
+            "unit": unit,
+            "vs_baseline": round(vs_baseline, 3),
+            "detail": detail,
+        },
+        separators=(",", ":"),
     )
+    print(line, flush=True)
+    results_file = os.environ.get("BENCH_RESULTS_FILE")
+    if results_file:
+        with open(results_file, "a") as f:
+            f.write(line + "\n")
 
 
 def _ms_metric(metric: str, value_ms: float, **detail):
     base = BASELINE_MS.get(metric)
     vs = (base / value_ms) if base else 1.0
+    # Roofline columns from the timing helper's XLA cost analysis: achieved
+    # TFLOP/s, estimated HBM GB/s (pre-fusion HLO bytes — an upper bound on
+    # true traffic), and % of the binding v5e roofline.
+    if "gflop" in _LAST:
+        detail.setdefault("gflop", _LAST["gflop"])
+        tflops = _LAST["gflop"] / value_ms
+        detail.setdefault("tflops", round(tflops, 2))
+        rl = tflops / _PEAK_TFLOPS_BF16
+        if "gbytes" in _LAST:
+            hbm = _LAST["gbytes"] / value_ms * 1e3
+            detail.setdefault("hbm_gbs", round(hbm, 0))
+            rl = max(rl, hbm / _PEAK_HBM_GBS)
+        detail.setdefault("roofline_pct", round(100.0 * rl, 1))
+    if "compile_s" in _LAST:
+        detail.setdefault("compile_s", _LAST["compile_s"])
+    _LAST.clear()
     _emit(metric, value_ms, "ms", vs, **detail)
 
 
@@ -975,9 +1050,6 @@ def metric_headline(quick: bool):
 
     x = jax.random.normal(jax.random.PRNGKey(1), (1, len(lat_lons), 102))
     y = jax.random.normal(jax.random.PRNGKey(2), (1, len(lat_lons), 78))
-    t0 = time.time()
-    _fetch(step(params, x, y))
-    compile_s = time.time() - t0
     n_iter = 5 if quick else 20
 
     def body(c, params, x, y):
@@ -986,6 +1058,11 @@ def metric_headline(quick: bool):
     ms = _time_ms(body, n_iter, args=(params, x, y))
     steps_per_sec = 1000.0 / ms
     prev = _previous_headline()
+    extra = {}
+    for k in ("gflop", "compile_s"):
+        if k in _LAST:
+            extra[k] = _LAST[k]
+    _LAST.clear()
     _emit(
         HEADLINE + ("_quick4deg" if quick else ""),
         steps_per_sec,
@@ -994,8 +1071,8 @@ def metric_headline(quick: bool):
         grid_nodes=len(lat_lons),
         loss_included=True,
         build_s=round(build_s, 2),
-        compile_s=round(compile_s, 2),
         step_ms=round(ms, 2),
+        **extra,
     )
 
 
@@ -1019,100 +1096,184 @@ METRICS = {
     "weathermesh_train": metric_weathermesh_train,
 }
 
-# (name, cold-cost estimate seconds). Order = priority; the parent skips
-# a metric when the remaining budget can't cover its estimate. Estimates
-# include subprocess startup + graph build + remote compile (cold cache).
-# Value-ordered: the headline plus the metrics that changed this round
-# run first; the budget loop skips a metric that no longer fits but keeps
-# trying the cheaper ones after it.
-FULL_ORDER = [
-    ("headline", 150),
-    ("denoiser_s6", 420),
-    ("gencast_train_s6", 540),
-    ("weathermesh", 600),
-    ("weathermesh_train", 480),
-    ("sampler", 300),
-    ("denoiser_s5", 180),
-    ("quarter_slice", 300),
-    ("quarter_slice_train", 420),
-    ("gencast_train", 300),
-    ("denoiser_batch4", 240),
-    ("gencast_train_batch4", 300),
-    ("genda", 240),
-    ("fgn", 600),
-    ("fgn_ensemble", 420),
-    ("assimilator", 150),
-    ("train_step", 180),
+# Metric GROUPS: one subprocess per group, metrics inside share the
+# process (imports, graph builds, jit caches). (group, [metrics],
+# warm-cache wall estimate s). Order = priority: the headline first, then
+# the families BENCH_r03/r04 never recorded (fgn, genda, batched train,
+# assimilator, train_step), then the rest. Estimates are measured warm
+# numbers (persistent compile cache hit) + slack; a group that overruns
+# is cut by the subprocess timeout but its FINISHED metrics are already
+# on stdout (inherited), so nothing that ran is lost.
+GROUPS = [
+    ("forecaster_1deg", ["headline", "train_step", "assimilator"], 330),
+    ("fgn", ["fgn", "fgn_ensemble"], 420),
+    ("gencast_s5", [
+        "denoiser_s5", "gencast_train", "denoiser_batch4",
+        "gencast_train_batch4", "sampler",
+    ], 480),
+    ("genda", ["genda"], 150),
+    ("weathermesh", ["weathermesh", "weathermesh_train"], 330),
+    ("gencast_s6", ["denoiser_s6", "gencast_train_s6"], 420),
+    ("quarter", ["quarter_slice", "quarter_slice_train"], 420),
 ]
-QUICK_ORDER = [("headline", 120), ("denoiser_s5", 120)]
+QUICK_GROUPS = [("quick", ["headline", "denoiser_s5"], 150)]
+# Kept for introspection/tests: flat (metric, est) view of GROUPS.
+FULL_ORDER = [
+    (m, est // max(len(ms), 1)) for (_, ms, est) in GROUPS for m in ms
+]
+
+
+def _run_metrics(names: list[str], quick: bool) -> None:
+    """Child mode: run several metric functions in-process. A failure in
+    one metric is reported on stderr and does NOT stop the rest; exit code
+    is nonzero if any metric failed."""
+    failed = []
+    for name in names:
+        try:
+            METRICS[name](quick)
+        except Exception:
+            import traceback
+
+            failed.append(name)
+            sys.stderr.write(f"[bench] metric {name} failed:\n")
+            traceback.print_exc()
+    if failed:
+        sys.exit(3)
 
 
 def main() -> None:
     quick = "--quick" in sys.argv
-    which = None
     for a in sys.argv[1:]:
         if a.startswith("--metric="):
-            which = a.split("=", 1)[1]
-    if which is not None:
-        METRICS[which](quick)
-        return
+            _run_metrics(a.split("=", 1)[1].split(","), quick)
+            return
+        if a.startswith("--metrics="):
+            _run_metrics(a.split("=", 1)[1].split(","), quick)
+            return
 
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
-    deadline = time.time() + budget
+    start = time.time()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2040"))
+    # Reserve so the parent always reaches the summary + headline re-emit
+    # before any outer wall-clock kill.
+    sched_deadline = start + budget - 45.0
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_gwtpu")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    here = os.path.dirname(os.path.abspath(__file__))
+    results_path = os.path.join(
+        here, f".bench_results_{os.getpid()}.jsonl"
+    )
+    env["BENCH_RESULTS_FILE"] = results_path
+    if os.path.exists(results_path):
+        os.remove(results_path)
 
-    headline_line = None
+    def collected() -> list[dict]:
+        if not os.path.exists(results_path):
+            return []
+        out = []
+        with open(results_path) as f:
+            for ln in f:
+                try:
+                    out.append(json.loads(ln))
+                except json.JSONDecodeError:
+                    pass
+        return out
 
-    def run_one(name: str, est: float) -> str | None:
-        """Run one metric subprocess (one retry); returns its JSON line."""
-        nonlocal headline_line
-        cmd = [sys.executable, os.path.abspath(__file__), f"--metric={name}"]
+    def run_group(name: str, metrics: list[str], est: float) -> None:
+        remaining = sched_deadline - time.time()
+        if remaining < 0.5 * est:
+            sys.stderr.write(
+                f"[bench] skipping group {name}: {remaining:.0f}s left "
+                f"< half of est {est:.0f}s\n"
+            )
+            return
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--metrics=" + ",".join(metrics),
+        ]
         if quick:
             cmd.append("--quick")
-        for attempt in (1, 2):
-            remaining = deadline - time.time()
-            if remaining < min(est, 120):
-                sys.stderr.write(
-                    f"[bench] skipping {name} (attempt {attempt}): "
-                    f"{remaining:.0f}s left < est {est:.0f}s\n"
-                )
-                return None
-            try:
-                proc = subprocess.run(
-                    cmd, capture_output=True, text=True,
-                    timeout=max(min(remaining - 30, 1500), 60), env=env,
-                )
-            except subprocess.TimeoutExpired:
-                sys.stderr.write(f"[bench] {name} timed out (attempt {attempt})\n")
-                continue
-            lines = [
-                ln.strip()
-                for ln in proc.stdout.splitlines()
-                if ln.strip().startswith("{")
-            ]
-            if proc.returncode == 0 and lines:
-                for ln in lines:
-                    print(ln, flush=True)
-                    if f'"{HEADLINE}' in ln:
-                        headline_line = ln
-                return lines[-1]
-            sys.stderr.write(
-                f"[bench] metric {name} failed rc={proc.returncode} "
-                f"(attempt {attempt}):\n" + proc.stderr[-2000:] + "\n"
+        n_before = len(collected())
+        try:
+            # stdout is INHERITED: metric lines stream straight into the
+            # driver's capture the moment they're produced.
+            proc = subprocess.run(
+                cmd, stdout=None, stderr=subprocess.PIPE, text=True,
+                timeout=max(remaining, 60), env=env,
             )
-        return None
+            rc = proc.returncode
+            err = proc.stderr or ""
+        except subprocess.TimeoutExpired as e:
+            rc = -1
+            err = (e.stderr or "") if isinstance(e.stderr, str) else ""
+            sys.stderr.write(f"[bench] group {name} timed out\n")
+        if rc != 0:
+            sys.stderr.write(
+                f"[bench] group {name} rc={rc}:\n" + err[-1500:] + "\n"
+            )
+            # Retry once, whole group, only if it produced NOTHING (a
+            # transient tunnel failure) and the budget still covers it.
+            if len(collected()) == n_before and (
+                sched_deadline - time.time() > est
+            ):
+                sys.stderr.write(f"[bench] retrying group {name}\n")
+                try:
+                    subprocess.run(
+                        cmd, stdout=None, stderr=subprocess.PIPE, text=True,
+                        timeout=max(sched_deadline - time.time(), 60),
+                        env=env,
+                    )
+                except subprocess.TimeoutExpired:
+                    sys.stderr.write(f"[bench] retry {name} timed out\n")
 
-    order = QUICK_ORDER if quick else FULL_ORDER
-    for name, est in order:
-        run_one(name, est)
+    groups = QUICK_GROUPS if quick else GROUPS
+    for name, metrics, est in groups:
+        run_group(name, metrics, est)
 
-    # Re-emit the headline as the FINAL line so last-line parsers track it
-    # even though it ran first (and is captured early if the run is cut).
+    # ---- end-of-run: compact summary + headline re-emit ----
+    results = collected()
+    try:
+        os.remove(results_path)
+    except OSError:
+        pass
+    # Full-detail artifact for the repo (committed by end-of-round
+    # snapshots; the driver's tail only keeps ~2000 chars of stdout).
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(
+                {
+                    "elapsed_s": round(time.time() - start, 1),
+                    "results": results,
+                },
+                f, indent=1,
+            )
+    except OSError:
+        pass
+    # Compact summary: every metric, no detail — all of it fits the
+    # driver's 2000-char tail window.
+    headline_line = None
+    seen = set()
+    for r in results:
+        if r["metric"] in seen:
+            continue
+        seen.add(r["metric"])
+        line = json.dumps(
+            {
+                "metric": r["metric"],
+                "value": r["value"],
+                "unit": r["unit"],
+                "vs_baseline": r["vs_baseline"],
+            },
+            separators=(",", ":"),
+        )
+        if r["metric"].startswith(HEADLINE):
+            headline_line = line
+        else:
+            print(line, flush=True)
+    # Headline LAST so last-line parsers track it.
     if headline_line is not None:
         print(headline_line, flush=True)
-    elif not quick:
+    else:
         sys.stderr.write("[bench] headline metric missing from this run\n")
 
 
