@@ -674,6 +674,54 @@ def _wm_conv_block(sd, prefix, up: bool):
     return params, stats
 
 
+def _group_norm(sd, prefix):
+    return {
+        "scale": np.asarray(sd[f"{prefix}.weight"]),
+        "bias": np.asarray(sd[f"{prefix}.bias"]),
+    }
+
+
+def convert_thermalizer(sd: dict, simple: bool = False) -> dict:
+    """Reference ThermalizerLayer state_dict (models/layers/
+    thermalizer.py:120-137: score_model = AdaptiveUNet) -> our
+    ThermalizerLayer params.
+
+    The reference UNet's Sequential indices: contract blocks are
+    [Conv2d, GroupNorm, ReLU, Conv2d, GroupNorm, ReLU, MaxPool] (0,1,3,4);
+    expand blocks append a ConvTranspose2d at index 6; simple_net is
+    [Conv, GN, ReLU] x3 + Conv (0,1,3,4,6,7,9). `simple=True` converts
+    the tiny-grid simple_net path (used when min(H, W) <= 4)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    unet: dict = {}
+    if simple:
+        for j, idx in enumerate((0, 3, 6, 9)):
+            unet[f"Conv_{j}"] = _conv2d(sd, f"score_model.simple_net.{idx}")
+        for j, idx in enumerate((1, 4, 7)):
+            unet[f"GroupNorm_{j}"] = _group_norm(
+                sd, f"score_model.simple_net.{idx}"
+            )
+        return {"params": {"AdaptiveUNet_0": unet}}
+
+    def block(prefix, transpose=False):
+        p = {
+            "Conv_0": _conv2d(sd, f"{prefix}.0"),
+            "GroupNorm_0": _group_norm(sd, f"{prefix}.1"),
+            "Conv_1": _conv2d(sd, f"{prefix}.3"),
+            "GroupNorm_1": _group_norm(sd, f"{prefix}.4"),
+        }
+        if transpose:
+            p["ConvTranspose_0"] = _conv_transpose2d(sd, f"{prefix}.6")
+        return p
+
+    for j, name in enumerate(("conv1", "conv2", "conv3")):
+        unet[f"_ContractBlock_{j}"] = block(f"score_model.{name}")
+    for j, name in enumerate(("upconv3", "upconv2", "upconv1")):
+        unet[f"_ExpandBlock_{j}"] = block(
+            f"score_model.{name}", transpose=True
+        )
+    return {"params": {"AdaptiveUNet_0": unet}}
+
+
 def convert_weathermesh(
     sd: dict,
     num_processors: int = 2,

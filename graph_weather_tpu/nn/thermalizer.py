@@ -57,9 +57,9 @@ class _ContractBlock(nn.Module):
     def __call__(self, x):
         k = (self.kernel, self.kernel)
         x = nn.Conv(self.out_channels, kernel_size=k)(x)
-        x = nn.relu(nn.GroupNorm(num_groups=min(8, self.out_channels))(x))
+        x = nn.relu(nn.GroupNorm(num_groups=min(8, self.out_channels), epsilon=1e-5)(x))
         x = nn.Conv(self.out_channels, kernel_size=k)(x)
-        x = nn.relu(nn.GroupNorm(num_groups=min(8, self.out_channels))(x))
+        x = nn.relu(nn.GroupNorm(num_groups=min(8, self.out_channels), epsilon=1e-5)(x))
         return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
 
@@ -71,11 +71,15 @@ class _ExpandBlock(nn.Module):
     def __call__(self, x):
         k = (self.kernel, self.kernel)
         x = nn.Conv(self.out_channels, kernel_size=k)(x)
-        x = nn.relu(nn.GroupNorm(num_groups=min(8, self.out_channels))(x))
+        x = nn.relu(nn.GroupNorm(num_groups=min(8, self.out_channels), epsilon=1e-5)(x))
         x = nn.Conv(self.out_channels, kernel_size=k)(x)
-        x = nn.relu(nn.GroupNorm(num_groups=min(8, self.out_channels))(x))
+        x = nn.relu(nn.GroupNorm(num_groups=min(8, self.out_channels), epsilon=1e-5)(x))
+        # torch ConvTranspose2d(k=3, s=2, padding=1, output_padding=1)
+        # pads the dilated input by (k-1-p, k-1-p+op) = (1, 2); flax's
+        # SAME computes the mirrored (2, 1) and shifts the output by one.
         return nn.ConvTranspose(
-            self.out_channels, kernel_size=(3, 3), strides=(2, 2)
+            self.out_channels, kernel_size=(3, 3), strides=(2, 2),
+            padding=((1, 2), (1, 2)),
         )(x)
 
 
@@ -97,11 +101,11 @@ class AdaptiveUNet(nn.Module):
         b, h, w, _ = x.shape
         if min(h, w) <= 4:
             y = nn.Conv(64, (3, 3))(x)
-            y = nn.relu(nn.GroupNorm(num_groups=8)(y))
+            y = nn.relu(nn.GroupNorm(num_groups=8, epsilon=1e-5)(y))
             y = nn.Conv(128, (3, 3))(y)
-            y = nn.relu(nn.GroupNorm(num_groups=8)(y))
+            y = nn.relu(nn.GroupNorm(num_groups=8, epsilon=1e-5)(y))
             y = nn.Conv(64, (3, 3))(y)
-            y = nn.relu(nn.GroupNorm(num_groups=8)(y))
+            y = nn.relu(nn.GroupNorm(num_groups=8, epsilon=1e-5)(y))
             return nn.Conv(self.out_channels, (3, 3))(y)
 
         c1 = _ContractBlock(32, 7)(x)
@@ -134,7 +138,12 @@ class ThermalizerLayer(nn.Module):
         height: int | None = None,
         width: int | None = None,
         batch: int | None = None,
+        noise: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
+        """`noise` (optional, [batch, H, W, F]) replaces the 'noise'-RNG
+        draw — the injected-noise replay used by the torch-reference
+        parity golden (record the reference's torch.randn draw, feed it
+        here, compare outputs exactly)."""
         orig_shape = x.shape
         if x.ndim == 3:
             batch = x.shape[0]
@@ -158,8 +167,11 @@ class ThermalizerLayer(nn.Module):
         sqrt_alpha = float(np.sqrt(alphas_cumprod[t_idx]))
         sqrt_one_minus = float(np.sqrt(1.0 - alphas_cumprod[t_idx]))
 
-        noise = jax.random.normal(self.make_rng("noise"), grid.shape, grid.dtype)
-        noisy = sqrt_alpha * grid + sqrt_one_minus * noise
+        if noise is None:
+            noise = jax.random.normal(
+                self.make_rng("noise"), grid.shape, grid.dtype
+            )
+        noisy = sqrt_alpha * grid + sqrt_one_minus * noise.reshape(grid.shape)
 
         ys = jnp.linspace(0, 1, height)[None, :, None]
         xs = jnp.linspace(0, 1, width)[None, None, :]

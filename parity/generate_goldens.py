@@ -1036,6 +1036,141 @@ def generate_sampler_traj(out_dir: str, cfg=GENCAST_SMALL, num_steps=8) -> str:
     return path
 
 
+def generate_constraint(out_dir: str) -> str:
+    """Golden for PhysicalConstraintLayer (reference models/layers/
+    constraint_layer.py:12-188). Deterministic — no weights. Covers:
+    all three constraint types with graph-format inputs at
+    upsampling_factor=1 (exactly the GraphWeatherForecaster wiring,
+    reference forecast.py:169-176,234-247) and grid-format inputs at
+    upsampling_factor=2 (the pooled/kron block path)."""
+    from parity import ref_shims
+
+    ref_shims.install()
+    ref_shims.add_reference_to_path()
+    import torch
+
+    from graph_weather.models.layers.constraint_layer import (
+        PhysicalConstraintLayer as RefConstraint,
+    )
+
+    class _Shim:
+        """Row-major grid <-> graph mapping (the reference forecaster's
+        node_to_grid enumerates lat-major rows, forecast.py:194-214)."""
+
+        def __init__(self, grid_shape):
+            self.grid_shape = grid_shape
+
+        def graph_to_grid(self, g):
+            b, n, c = g.shape
+            h, w = self.grid_shape
+            if n == h * w:
+                return g.reshape(b, h, w, c).permute(0, 3, 1, 2)
+            # low-res graph: infer (h/f, w/f) with the same aspect
+            f = int(round((h * w / n) ** 0.5))
+            return g.reshape(b, h // f, w // f, c).permute(0, 3, 1, 2)
+
+        def grid_to_graph(self, t):
+            b, c, h, w = t.shape
+            return t.permute(0, 2, 3, 1).reshape(b, h * w, c)
+
+    rng = np.random.default_rng(7)
+    h, w, c, b = 6, 8, 3, 2
+    out: dict = {}
+    # factor 1, graph format (forecaster wiring)
+    hr1 = rng.standard_normal((b, h * w, c)).astype(np.float32)
+    lr1 = rng.standard_normal((b, h * w, c)).astype(np.float32)
+    shim = _Shim((h, w))
+    for ctype in ("additive", "multiplicative", "softmax"):
+        layer = RefConstraint(
+            shim, (h, w), upsampling_factor=1, constraint_type=ctype
+        )
+        with torch.no_grad():
+            y = layer(torch.tensor(hr1), torch.tensor(lr1))
+        out[f"f1_{ctype}"] = y.numpy()
+    # factor 2, grid format (block pooling / kron expansion)
+    hr2 = rng.standard_normal((b, c, h, w)).astype(np.float32)
+    lr2 = rng.standard_normal((b, c, h // 2, w // 2)).astype(np.float32)
+    for ctype in ("additive", "multiplicative", "softmax"):
+        layer = RefConstraint(
+            shim, (h, w), upsampling_factor=2, constraint_type=ctype
+        )
+        with torch.no_grad():
+            y = layer(torch.tensor(hr2), torch.tensor(lr2))
+        out[f"f2_{ctype}"] = y.numpy()
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "constraint_small.npz")
+    np.savez_compressed(
+        path,
+        __hr_graph__=hr1, __lr_graph__=lr1,
+        __hr_grid__=hr2, __lr_grid__=lr2,
+        __grid_shape__=np.array([h, w]),
+        **out,
+    )
+    print(f"wrote {path}: {sorted(out)}")
+    return path
+
+
+def generate_thermalizer(out_dir: str) -> str:
+    """Golden for ThermalizerLayer (reference models/layers/
+    thermalizer.py:20-265) via injected-noise replay: the reference's
+    torch.randn_like draw is recorded (monkeypatched) and saved so the
+    JAX side can replay the exact same diffusion noise. Two cases:
+    16x16 (full UNet path) and 4x4 (simple_net path)."""
+    from parity import ref_shims
+
+    ref_shims.install()
+    ref_shims.add_reference_to_path()
+    import torch
+
+    from graph_weather.models.layers.thermalizer import (
+        ThermalizerLayer as RefThermalizer,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for tag, (hgt, wid) in (("unet", (16, 16)), ("simple", (4, 4))):
+        torch.manual_seed(0)
+        feats = 8
+        layer = RefThermalizer(input_dim=feats, timesteps=1000)
+        layer.eval()
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((hgt * wid, feats)).astype(np.float32)
+        noise = rng.standard_normal((1, feats, hgt, wid)).astype(np.float32)
+
+        real_randn_like = torch.randn_like
+
+        def fake_randn_like(t, noise=noise):
+            assert tuple(t.shape) == noise.shape, (t.shape, noise.shape)
+            return torch.tensor(noise)
+
+        torch.randn_like = fake_randn_like
+        try:
+            with torch.no_grad():
+                y = layer(
+                    torch.tensor(x), t=10, height=hgt, width=wid, batch=1
+                )
+        finally:
+            torch.randn_like = real_randn_like
+
+        sd = _state_dict_np(layer)
+        path = os.path.join(out_dir, f"thermalizer_{tag}_small.npz")
+        np.savez_compressed(
+            path,
+            __input__=x,
+            __noise__=noise,
+            __output__=y.numpy(),
+            __meta__=np.array([hgt, wid, feats, 10]),
+            **sd,
+        )
+        print(
+            f"wrote {path}: out mean {y.numpy().mean():+.6f} "
+            f"std {y.numpy().std():.6f}"
+        )
+        paths.append(path)
+    return paths[0]
+
+
 GENERATORS = {
     "forecaster": generate_forecaster,
     "graphcast": generate_graphcast,
@@ -1049,6 +1184,8 @@ GENERATORS = {
     "aurora": generate_aurora,
     "assimilator": generate_assimilator,
     "regional": generate_regional,
+    "constraint": generate_constraint,
+    "thermalizer": generate_thermalizer,
 }
 
 

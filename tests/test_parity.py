@@ -815,3 +815,70 @@ def test_sampler_trajectory_matches_torch_reference_golden():
     assert out.shape == expected.shape
     rmse = np.sqrt(((out - expected) ** 2).mean())
     assert rmse < 1e-4, rmse
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_golden("constraint_small.npz")),
+    reason="golden not generated",
+)
+def test_constraint_matches_torch_reference_golden():
+    """PhysicalConstraintLayer parity (reference models/layers/
+    constraint_layer.py:12-188): all three constraint types, graph-format
+    inputs at upsampling_factor=1 (the forecaster wiring) and grid-format
+    inputs at factor 2 (pooled/kron block path). Deterministic layer —
+    exact value comparison."""
+    from graph_weather_tpu.nn.constraint import PhysicalConstraintLayer
+
+    data = np.load(_golden("constraint_small.npz"))
+    h, w = (int(v) for v in data["__grid_shape__"])
+    hr1 = jnp.asarray(data["__hr_graph__"])
+    lr1 = jnp.asarray(data["__lr_graph__"])
+    hr2 = jnp.asarray(data["__hr_grid__"])
+    lr2 = jnp.asarray(data["__lr_grid__"])
+    for ctype in ("additive", "multiplicative", "softmax"):
+        layer = PhysicalConstraintLayer(
+            grid_shape=(h, w), upsampling_factor=1, constraint_type=ctype
+        )
+        out = np.asarray(layer(hr1, lr1))
+        np.testing.assert_allclose(
+            out, data[f"f1_{ctype}"], rtol=1e-5, atol=1e-6,
+            err_msg=f"f1_{ctype}",
+        )
+        layer = PhysicalConstraintLayer(
+            grid_shape=(h, w), upsampling_factor=2, constraint_type=ctype
+        )
+        out = np.asarray(layer(hr2, lr2))
+        np.testing.assert_allclose(
+            out, data[f"f2_{ctype}"], rtol=1e-5, atol=1e-6,
+            err_msg=f"f2_{ctype}",
+        )
+
+
+@pytest.mark.parametrize("tag", ["unet", "simple"])
+def test_thermalizer_matches_torch_reference_golden(tag):
+    """ThermalizerLayer parity (reference models/layers/thermalizer.py:
+    20-265) via injected-noise replay: the reference's recorded
+    torch.randn draw is fed through the `noise` argument, so the one-step
+    denoise (cosine schedule at t=10, AdaptiveUNet score model with +2
+    positional channels) must reproduce the torch output exactly.
+    Covers both the full UNet path (16x16) and simple_net (4x4)."""
+    path = _golden(f"thermalizer_{tag}_small.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden not generated")
+    from graph_weather_tpu.convert import convert_thermalizer
+    from graph_weather_tpu.nn.thermalizer import ThermalizerLayer
+
+    data = np.load(path)
+    hgt, wid, feats, t = (int(v) for v in data["__meta__"])
+    params = convert_thermalizer(dict(data), simple=(tag == "simple"))
+    layer = ThermalizerLayer(input_dim=feats, timesteps=1000)
+    x = jnp.asarray(data["__input__"])
+    # torch noise is [B, C, H, W]; ours is channels-last [B, H, W, C]
+    noise = jnp.transpose(jnp.asarray(data["__noise__"]), (0, 2, 3, 1))
+    out = layer.apply(
+        params, x, t, height=hgt, width=wid, batch=1, noise=noise
+    )
+    expected = data["__output__"]
+    assert out.shape == expected.shape
+    rmse = float(np.sqrt(((np.asarray(out) - expected) ** 2).mean()))
+    assert rmse < 1e-5, rmse
