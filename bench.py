@@ -130,10 +130,16 @@ def _aot(scan_fn, n_iter, example_args):
             ca = ca[0] if ca else {}
         flops = float(ca.get("flops", 0.0))
         byts = float(ca.get("bytes accessed", 0.0))
+        # XLA's cost analysis counts a while-loop body ONCE regardless of
+        # trip count (verified on this backend with a carry-dependent
+        # probe: program flops are flat in the scan length), so the
+        # program totals ARE the per-chained-iteration cost. Caveat:
+        # models with their own inner lax.scan (e.g. WeatherMesh rollout)
+        # are likewise counted once per inner body.
         if flops > 0:
-            _LAST["gflop"] = round(flops / n_iter / 1e9, 2)
+            _LAST["gflop"] = round(flops / 1e9, 2)
         if byts > 0:
-            _LAST["gbytes"] = byts / n_iter / 1e9
+            _LAST["gbytes"] = byts / 1e9
     except Exception:  # cost analysis is best-effort
         pass
     return compiled
@@ -251,12 +257,20 @@ def _ms_metric(metric: str, value_ms: float, **detail):
         detail.setdefault("gflop", _LAST["gflop"])
         tflops = _LAST["gflop"] / value_ms
         detail.setdefault("tflops", round(tflops, 2))
-        rl = tflops / _PEAK_TFLOPS_BF16
+        mxu_pct = 100.0 * tflops / _PEAK_TFLOPS_BF16
+        detail.setdefault("mxu_pct", round(mxu_pct, 1))
+        rl = mxu_pct
         if "gbytes" in _LAST:
+            # Pre-fusion HLO bytes: an UPPER bound on true HBM traffic
+            # (fusion elides intermediates), so hbm_gbs_ub can exceed the
+            # physical peak; when it does, fusion removed >= the excess
+            # and the bound says nothing about the binding roofline.
             hbm = _LAST["gbytes"] / value_ms * 1e3
-            detail.setdefault("hbm_gbs", round(hbm, 0))
-            rl = max(rl, hbm / _PEAK_HBM_GBS)
-        detail.setdefault("roofline_pct", round(100.0 * rl, 1))
+            detail.setdefault("hbm_gbs_ub", round(hbm, 0))
+            hbm_pct = 100.0 * hbm / _PEAK_HBM_GBS
+            if hbm_pct <= 100.0:
+                rl = max(rl, hbm_pct)
+        detail.setdefault("roofline_pct", round(rl, 1))
     if "compile_s" in _LAST:
         detail.setdefault("compile_s", _LAST["compile_s"])
     _LAST.clear()
@@ -693,8 +707,25 @@ def metric_fgn(quick: bool):
 
     # TRAIN step at the same reference scale (CRPS-style training takes a
     # gradient through single members; reference train loop analogue).
+    # remat=True: 24 blocks x 768-d x 40,962 mesh nodes of saved
+    # activations (~1.5 GB/block counting attention intermediates) blow
+    # the v5e HBM without rematerialization (BENCH r4 full-run OOM).
     from graph_weather_tpu.train import make_optimizer, make_train_step
 
+    fgn_r = FunctionalGenerativeNetwork(
+        grid_lon=np.arange(0.0, 360.0, 360.0 / nlon),
+        grid_lat=np.linspace(-90.0, 90.0, nlat),
+        input_features_dim=f_in,
+        output_features_dim=f_out,
+        noise_dimension=zdim,
+        hidden_dims=(hid, hid),
+        num_blocks=blocks,
+        splits=splits,
+        num_hops=hops,
+        use_edges_features=False,
+        attention_impl="clustered_flash",
+        remat=True,
+    )
     optimizer = make_optimizer(learning_rate=1e-4)
     opt_state = optimizer.init(params)
     target = jax.random.normal(jax.random.PRNGKey(3), (1, nlon, nlat, f_out))
@@ -702,7 +733,7 @@ def metric_fgn(quick: bool):
     def loss_fn(pred, tgt):
         return jnp.mean((pred - tgt) ** 2)
 
-    step = make_train_step(fgn.member_fn(compute_dtype=jnp.bfloat16),
+    step = make_train_step(fgn_r.member_fn(compute_dtype=jnp.bfloat16),
                            loss_fn, optimizer)
     ms = _time_train_ms(
         step, params, opt_state, 2 if quick else 6, prev, z, target
@@ -750,7 +781,17 @@ def metric_fgn_ensemble(quick: bool):
         attention_impl="clustered_flash",
     )
     params = fgn.init(jax.random.PRNGKey(0))
-    fwd = jax.jit(fgn.forward_fn(members, compute_dtype=jnp.bfloat16))
+    # member_chunk=1: a full 8-member vmap's clustered-flash gather
+    # workspace exceeds one v5e's HBM at this scale (BENCH r4 OOM), and
+    # measured member-vmap ANTI-scales in the gather memory system
+    # (scripts/probe_fgn_ensemble.py: vmap(2) 452.8 ms/member, vmap(4)
+    # 331.9 vs sequential lax.map 171.9 ms/member) — sequential members
+    # are fastest AND match the production design (member axis sharded
+    # over devices, parallel/ensemble.py).
+    fwd = jax.jit(fgn.forward_fn(
+        members, compute_dtype=jnp.bfloat16,
+        member_chunk=None if quick else 1,
+    ))
     # Single prev timestep — see metric_fgn (reference fgn/model.py:89,132).
     prev = jax.random.normal(jax.random.PRNGKey(1), (1, nlon, nlat, f_in))
     key = jax.random.PRNGKey(2)
@@ -766,6 +807,7 @@ def metric_fgn_ensemble(quick: bool):
         hidden=hid,
         num_blocks=blocks,
         members=members,
+        member_chunk=members if quick else 1,
         total_ms=round(ms, 2),
         dtype="bfloat16",
         attention_impl="clustered_flash",

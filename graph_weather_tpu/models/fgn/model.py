@@ -329,10 +329,35 @@ class FunctionalGenerativeNetwork:
 
         return fn
 
-    def forward_fn(self, num_ensemble: int = 2, compute_dtype=None):
-        """Pure (params, prev_state, key) -> [B, E, lon, lat, F_out]."""
+    def forward_fn(
+        self,
+        num_ensemble: int = 2,
+        compute_dtype=None,
+        member_chunk: int | None = None,
+    ):
+        """Pure (params, prev_state, key) -> [B, E, lon, lat, F_out].
+
+        member_chunk: members are vmapped in chunks of this size and the
+        chunks run sequentially under `lax.map`. The vmap working set is
+        O(chunk x per-member peak) — at reference scale (768-d, 24
+        blocks, splits 6) a full 8-member vmap's gather workspace alone
+        exceeds one v5e's HBM, and member-vmap ANTI-scales in the gather
+        memory system even when it fits (measured v5e, scripts/
+        probe_fgn_ensemble.py: 452.8 ms/member vmapped-by-2 vs 171.9
+        sequential) — use member_chunk=1 at production scale on one
+        chip. Default: one chunk (pure vmap, fine at small scale). On a
+        multi-chip mesh prefer sharding the member axis
+        (parallel/ensemble.py) over chunking."""
         member = self.member_fn(compute_dtype=compute_dtype)
         noise_dim = self.noise_dimension
+        if member_chunk is None:
+            member_chunk = num_ensemble
+        if num_ensemble % member_chunk:
+            raise ValueError(
+                f"member_chunk={member_chunk} must divide "
+                f"num_ensemble={num_ensemble}"
+            )
+        n_chunks = num_ensemble // member_chunk
 
         def fn(params, prev_state, key):
             batch = prev_state.shape[0]
@@ -342,7 +367,14 @@ class FunctionalGenerativeNetwork:
                 z = jax.random.normal(k, (batch, noise_dim))
                 return member(params, prev_state, z)
 
-            ens = jax.vmap(one)(keys)  # [E, B, lon, lat, F]
+            if n_chunks == 1:
+                ens = jax.vmap(one)(keys)  # [E, B, lon, lat, F]
+            else:
+                chunked = jax.lax.map(
+                    jax.vmap(one),
+                    keys.reshape(n_chunks, member_chunk, *keys.shape[1:]),
+                )  # [n_chunks, chunk, B, lon, lat, F]
+                ens = chunked.reshape(num_ensemble, *chunked.shape[2:])
             return jnp.swapaxes(ens, 0, 1)
 
         return fn

@@ -45,6 +45,25 @@ class TestFGN:
         out = model(params, state, num_ensemble=2, key=jax.random.PRNGKey(2))
         assert not np.allclose(np.asarray(out[:, 0]), np.asarray(out[:, 1]))
 
+    def test_member_chunk_matches_full_vmap(self, fgn):
+        # Chunked (lax.map over member chunks) ensembles must reproduce
+        # the pure-vmap path exactly: same per-member keys, same math.
+        model, params = fgn
+        state = jnp.asarray(
+            np.random.default_rng(1).normal(size=(1, NLON, NLAT, 3)),
+            jnp.float32,
+        )
+        key = jax.random.PRNGKey(3)
+        full = jax.jit(model.forward_fn(4))(params, state, key)
+        chunked = jax.jit(model.forward_fn(4, member_chunk=2))(
+            params, state, key
+        )
+        np.testing.assert_allclose(
+            np.asarray(full), np.asarray(chunked), atol=1e-6
+        )
+        with pytest.raises(ValueError, match="member_chunk"):
+            model.forward_fn(4, member_chunk=3)
+
     def test_banded_attention_matches_segment(self):
         grid_lon, grid_lat = _grids()
         kw = dict(
