@@ -25,6 +25,7 @@ Call install() BEFORE importing anything from `graph_weather`.
 
 from __future__ import annotations
 
+import importlib.machinery
 import sys
 import types
 
@@ -355,6 +356,14 @@ class _AutoStub(types.ModuleType):
     zarr, ...) resolve without the packages; anything actually CALLED from
     a stub raises, so parity runs can't silently use fake data code.
     """
+
+    def __init__(self, name):
+        super().__init__(name)
+        # torch._dynamo.trace_rules probes importlib.util.find_spec on many
+        # modules (even with dynamo disabled, via Optimizer.__init__); a
+        # module with __spec__ None there raises ValueError. Give stubs a
+        # real (loader-less) spec so find_spec returns cleanly.
+        self.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
 
     def __getattr__(self, name):
         if name.startswith("__"):
