@@ -40,3 +40,43 @@ def test_every_metric_is_scheduled():
     """FULL_ORDER must cover every registered metric (and only those),
     so adding a metric without scheduling it can't silently drop it."""
     assert {n for n, _ in bench.FULL_ORDER} == set(bench.METRICS)
+
+
+def test_rotation_order_headline_first_then_stalest(tmp_path, monkeypatch):
+    """Rotation: the headline group always runs first; the rest order
+    stalest-first by BENCH_ROTATION.json, with never-recorded groups
+    (absent from the file) ahead of recorded ones."""
+    rot = tmp_path / "rot.json"
+    monkeypatch.setattr(bench, "ROTATION_FILE", str(rot))
+
+    # No rotation file: declaration order, headline first.
+    names = [g[0] for g in bench._rotation_order(bench.GROUPS)]
+    assert names[0] == "forecaster_1deg"
+    assert names == [g[0] for g in bench.GROUPS]
+
+    # Mark two groups as recently recorded: they move to the END, the
+    # headline stays first, never-recorded groups keep declaration order.
+    bench._rotation_mark("fgn")
+    bench._rotation_mark("genda")
+    names = [g[0] for g in bench._rotation_order(bench.GROUPS)]
+    assert names[0] == "forecaster_1deg"
+    assert names[-1] == "genda" and names[-2] == "fgn"
+    unrecorded = [
+        g[0] for g in bench.GROUPS
+        if g[0] not in ("forecaster_1deg", "fgn", "genda")
+    ]
+    assert names[1:-2] == unrecorded
+
+    # The mark file is valid JSON with float timestamps.
+    data = json.loads(rot.read_text())
+    assert set(data) == {"fgn", "genda"}
+    assert all(isinstance(v, float) for v in data.values())
+
+
+def test_committed_rotation_file_names_real_groups():
+    """BENCH_ROTATION.json (committed seed) must only name real groups."""
+    import os
+
+    path = os.path.join(os.path.dirname(bench.__file__), "BENCH_ROTATION.json")
+    data = json.load(open(path))
+    assert set(data) <= {g[0] for g in bench.GROUPS}
