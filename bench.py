@@ -1182,9 +1182,13 @@ GROUPS = [
         "gencast_train_batch4", "sampler",
     ], 560),
     ("genda", ["genda"], 150),
-    ("weathermesh", ["weathermesh", "weathermesh_train"], 900),
-    ("gencast_s6", ["denoiser_s6", "gencast_train_s6"], 450),
+    # Equal-staleness groups are declared cheapest-per-metric first so a
+    # shrinking budget captures the most metrics. Cold costs measured r5:
+    # quarter ~450 s, s6 ~1,050 s (denoiser_s6 compile alone 736 s), and
+    # weathermesh ~1,500 s (its Pallas NATTEN kernel family dominates).
     ("quarter", ["quarter_slice", "quarter_slice_train"], 450),
+    ("gencast_s6", ["denoiser_s6", "gencast_train_s6"], 1100),
+    ("weathermesh", ["weathermesh", "weathermesh_train"], 1500),
 ]
 QUICK_GROUPS = [("quick", ["headline", "denoiser_s5"], 150)]
 ROTATION_FILE = os.path.join(

@@ -398,6 +398,56 @@ class GraphWeatherForecaster:
 
         return fn
 
+    def graph_args(self, compute_dtype=None):
+        """The three static `DeviceGraph`s as a jit-argument pytree.
+
+        Companion to `args_forward_fn`: `DeviceGraph` is a flax.struct
+        pytree (index/mask/edge-feature arrays as leaves, node counts as
+        static metadata), so the bundles can cross a jit boundary as
+        ARGUMENTS instead of being baked into the program as literals.
+        """
+        g2m, latent, m2g = self.g2m, self.latent, self.m2g
+        if compute_dtype is not None:
+            g2m = g2m.replace(edge_attr=g2m.edge_attr.astype(compute_dtype))
+            latent = latent.replace(
+                edge_attr=latent.edge_attr.astype(compute_dtype)
+            )
+            m2g = m2g.replace(edge_attr=m2g.edge_attr.astype(compute_dtype))
+        return (g2m, latent, m2g)
+
+    def args_forward_fn(self, compute_dtype=None):
+        """(params, graphs, features) -> prediction, with the static
+        graphs passed as TRACED arguments (see `graph_args`).
+
+        Numerically identical to `forward_fn` (same module apply, tested
+        bit-exact in f32 and bf16) and measured identical in both step
+        latency and compile time on the v5e (28.4 vs 27.5 ms step, 18.1
+        vs 18.2 s compile — XLA treats large index literals and arguments
+        the same). What it buys instead: the executable is ~40% smaller
+        (8.0 vs 13.3 MB at 1°, graphs live in one `device_put` instead of
+        program literals), and ONE compiled program can serve DIFFERENT
+        graphs of the same shape — e.g. rotating regional/stretched
+        domains or dynamic-graph updates without recompiling.
+        """
+        module = self.module
+
+        def fn(params, graphs, features):
+            g2m, latent, m2g = graphs
+            if compute_dtype is not None:
+                params = jax.tree_util.tree_map(
+                    lambda t: t.astype(compute_dtype)
+                    if jnp.issubdtype(t.dtype, jnp.floating)
+                    else t,
+                    params,
+                )
+                features = features.astype(compute_dtype)
+            out = module.apply(params, features, g2m, latent, m2g)
+            return (
+                out.astype(jnp.float32) if compute_dtype is not None else out
+            )
+
+        return fn
+
     def spatial_forward_fn(self, mesh, axis: str = "model", compute_dtype=None):
         """Explicitly grid-node-sharded forward over a device mesh.
 

@@ -221,3 +221,25 @@ def test_thermalizer_end_to_end():
         params, feats
     )
     assert not np.allclose(np.asarray(o1), np.asarray(o3))
+
+
+def test_args_forward_fn_matches_forward_fn(small_model):
+    """args_forward_fn (graphs as jit arguments) must be numerically
+    identical to forward_fn (graphs as closure constants) — same module
+    apply, different jit-boundary placement of the static graphs."""
+    model, params, lat_lons = small_model
+    feats = jax.random.normal(jax.random.PRNGKey(7), (2, len(lat_lons), 12))
+
+    ref = jax.jit(model.forward_fn())(params, feats)
+    fn = jax.jit(model.args_forward_fn())
+    out = fn(params, model.graph_args(), feats)
+    assert jnp.array_equal(ref, out)
+
+    # bf16 policy path: graphs cast once in graph_args, same result as
+    # the closure-constant bf16 path.
+    ref16 = jax.jit(model.forward_fn(compute_dtype=jnp.bfloat16))(
+        params, feats
+    )
+    fn16 = jax.jit(model.args_forward_fn(compute_dtype=jnp.bfloat16))
+    out16 = fn16(params, model.graph_args(jnp.bfloat16), feats)
+    assert jnp.array_equal(ref16, out16)
