@@ -379,6 +379,72 @@ class FunctionalGenerativeNetwork:
 
         return fn
 
+    def ensemble_rollout_fn(
+        self,
+        num_ensemble: int = 2,
+        num_steps: int = 1,
+        compute_dtype=None,
+        member_chunk: int | None = None,
+    ):
+        """Pure (params, prev_state, key) -> [B, E, T, lon, lat, F_out]
+        autoregressive ensemble trajectory, ONE `lax.scan` program.
+
+        FGN semantics (arXiv:2506.10772, reference models/fgn/README.md):
+        a member IS one functional perturbation — its noise vector is
+        sampled once and held FIXED across every autoregressive step, so
+        each member's trajectory is jointly consistent; fresh noise per
+        step would sample from the marginals instead. Members advance
+        independently (vmap, or `lax.map` chunks via member_chunk — same
+        tradeoffs as `forward_fn`).
+
+        Requires output_features_dim == input_features_dim (the output
+        must be next step's input)."""
+        if self.output_features_dim != self.input_features_dim:
+            raise ValueError(
+                "autoregressive rollout needs output_features_dim "
+                f"({self.output_features_dim}) == input_features_dim "
+                f"({self.input_features_dim})"
+            )
+        member = self.member_fn(compute_dtype=compute_dtype)
+        noise_dim = self.noise_dimension
+        if member_chunk is None:
+            member_chunk = num_ensemble
+        if num_ensemble % member_chunk:
+            raise ValueError(
+                f"member_chunk={member_chunk} must divide "
+                f"num_ensemble={num_ensemble}"
+            )
+        n_chunks = num_ensemble // member_chunk
+
+        def fn(params, prev_state, key):
+            batch = prev_state.shape[0]
+            keys = jax.random.split(key, num_ensemble)
+
+            def member_traj(k):
+                z = jax.random.normal(k, (batch, noise_dim))
+
+                def step(state, _):
+                    nxt = member(params, state, z)
+                    return nxt, nxt
+
+                _, traj = jax.lax.scan(
+                    step, prev_state, None, length=num_steps
+                )
+                return traj  # [T, B, lon, lat, F_out]
+
+            if n_chunks == 1:
+                ens = jax.vmap(member_traj)(keys)  # [E, T, B, ...]
+            else:
+                chunked = jax.lax.map(
+                    jax.vmap(member_traj),
+                    keys.reshape(n_chunks, member_chunk, *keys.shape[1:]),
+                )
+                ens = chunked.reshape(num_ensemble, *chunked.shape[2:])
+            # [E, T, B, lon, lat, F] -> [B, E, T, lon, lat, F]
+            return jnp.transpose(ens, (2, 0, 1, 3, 4, 5))
+
+        return fn
+
     def apply(self, params, prev_state, num_ensemble: int = 2, key=None):
         key = key if key is not None else jax.random.PRNGKey(0)
         if self._jit_apply is None:

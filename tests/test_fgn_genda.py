@@ -328,3 +328,86 @@ class TestGenDA:
             jnp.ones((1, 1)),
         )
         assert out.shape == (1, NLON, NLAT, 1)
+
+
+class TestFGNEnsembleRollout:
+    @pytest.fixture(scope="class")
+    def fgn_ar(self):
+        # Autoregressive rollout needs output == input features.
+        grid_lon, grid_lat = _grids()
+        model = FunctionalGenerativeNetwork(
+            grid_lon, grid_lat, input_features_dim=2, output_features_dim=2,
+            noise_dimension=4, hidden_dims=(16, 16), num_blocks=2,
+            num_heads=4, splits=2, num_hops=2,
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        return model, params
+
+    def test_trajectory_shape_and_scan_consistency(self, fgn_ar):
+        """The one-program lax.scan trajectory must equal manually
+        chaining member_fn with the member's FIXED noise vector (FGN
+        semantics: one functional perturbation per member, held across
+        all autoregressive steps). Compared through the member_chunk=1
+        path, which evaluates members exactly like the manual chain; the
+        member-vmapped path has a measured ~1e-3 f32 batched-op spread
+        on CPU (pre-existing forward_fn property, see
+        test_member_chunk_matches_vmap)."""
+        model, params = fgn_ar
+        state = jax.random.normal(jax.random.PRNGKey(1), (1, NLON, NLAT, 2))
+        key = jax.random.PRNGKey(7)
+        roll = jax.jit(model.ensemble_rollout_fn(
+            num_ensemble=2, num_steps=3, member_chunk=1,
+        ))
+        traj = roll(params, state, key)
+        assert traj.shape == (1, 2, 3, NLON, NLAT, 2)
+        assert jnp.all(jnp.isfinite(traj))
+
+        member = jax.jit(model.member_fn())
+        keys = jax.random.split(key, 2)
+        for e in range(2):
+            z = jax.random.normal(keys[e], (1, 4))
+            s = state
+            for t in range(3):
+                s = member(params, s, z)
+                np.testing.assert_allclose(
+                    np.asarray(traj[0, e, t]), np.asarray(s[0]),
+                    rtol=0, atol=1e-6,
+                )
+
+    def test_members_diverge_over_steps(self, fgn_ar):
+        model, params = fgn_ar
+        state = jax.random.normal(jax.random.PRNGKey(2), (1, NLON, NLAT, 2))
+        roll = jax.jit(model.ensemble_rollout_fn(num_ensemble=2, num_steps=2))
+        traj = roll(params, state, jax.random.PRNGKey(3))
+        assert not jnp.allclose(traj[:, 0], traj[:, 1])
+
+    def test_member_chunk_matches_vmap(self, fgn_ar):
+        """vmapped members vs sequential (member_chunk=1) members: the
+        math is identical; on CPU f32 the batched lowering carries a
+        measured ~1e-3 spread vs the unbatched one (also true of the
+        pre-existing forward_fn: vmap(2) vs member_fn differs ~1e-3 at a
+        SINGLE step while chunk-1 is bit-exact), so this asserts the
+        loose bound and the exact agreement is pinned by the manual-chain
+        test above."""
+        model, params = fgn_ar
+        state = jax.random.normal(jax.random.PRNGKey(4), (1, NLON, NLAT, 2))
+        key = jax.random.PRNGKey(5)
+        full = jax.jit(model.ensemble_rollout_fn(num_ensemble=2, num_steps=2))
+        seq = jax.jit(model.ensemble_rollout_fn(
+            num_ensemble=2, num_steps=2, member_chunk=1,
+        ))
+        np.testing.assert_allclose(
+            np.asarray(full(params, state, key)),
+            np.asarray(seq(params, state, key)),
+            rtol=0, atol=5e-3,
+        )
+
+    def test_rollout_requires_matching_dims(self):
+        grid_lon, grid_lat = _grids()
+        model = FunctionalGenerativeNetwork(
+            grid_lon, grid_lat, input_features_dim=3, output_features_dim=2,
+            noise_dimension=4, hidden_dims=(8, 8), num_blocks=1,
+            num_heads=2, splits=2, num_hops=2,
+        )
+        with pytest.raises(ValueError, match="input_features_dim"):
+            model.ensemble_rollout_fn(num_ensemble=1, num_steps=1)
