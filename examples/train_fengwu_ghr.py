@@ -16,6 +16,13 @@ store for real data (requires optional xarray/zarr).
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# Allow `python examples/<name>.py` from an uninstalled checkout: the
+# interpreter puts examples/ (the script dir) on sys.path, not the repo
+# root, so add the parent directory when the package isn't installed.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import logging
 
 import jax
